@@ -1,0 +1,86 @@
+"""General collaborative-filtering data handler (yelp / gowalla / amazon).
+
+Behavioural parity with ``data_utils/data_handler_general_cf.py``: loads the same
+pickled COO train/valid/test matrices, binarises them, builds the bidirectional
+symmetric-normalised ``[U+I, U+I]`` adjacency — but lands everything as
+device-resident static-shape arrays (``CooGraph`` + padded eval structures)
+instead of torch sparse tensors + python DataLoaders.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+import scipy.sparse as sp
+import jax.numpy as jnp
+
+from sslrec_tpu.data.base import DataBundle, EvalData
+from sslrec_tpu.ops import sparse as sparse_ops
+
+_DEFAULT_DATA_ROOT = "/root/reference/datasets"
+
+
+def _dataset_dir(cfg) -> str:
+    root = cfg.data.get("dir") or _DEFAULT_DATA_ROOT
+    name = cfg.data.name
+    sub = {"yelp": "sparse_yelp", "gowalla": "sparse_gowalla", "amazon": "sparse_amazon"}
+    return os.path.join(root, "general_cf", sub.get(name, name))
+
+
+def load_one_mat(path: str) -> sp.coo_matrix:
+    """Load + binarise one pickled sparse matrix (``data_handler_general_cf.py:22-35``)."""
+    with open(path, "rb") as f:
+        mat = pickle.load(f)
+    mat = (mat != 0).astype(np.float32)
+    if not isinstance(mat, sp.coo_matrix):
+        mat = sp.coo_matrix(mat)
+    return mat
+
+
+def _eval_data(split_mat: sp.spmatrix, trn_mat: sp.spmatrix) -> EvalData:
+    csr = split_mat.tocsr()
+    counts = np.diff(csr.indptr)
+    test_users = np.where(counts > 0)[0].astype(np.int32)
+    return EvalData(
+        test_users=jnp.asarray(test_users),
+        ground_truth=sparse_ops.build_padded_rows(split_mat),
+        history=sparse_ops.build_padded_rows(trn_mat),
+        n_test_users=int(test_users.shape[0]),
+    )
+
+
+def bundle_from_matrices(trn_mat: sp.spmatrix, val_mat: sp.spmatrix | None,
+                         tst_mat: sp.spmatrix) -> DataBundle:
+    """Assemble a DataBundle from scipy matrices (also used by tests/synthetic)."""
+    n_users, n_items = trn_mat.shape
+    coo = trn_mat.tocoo()
+    order = np.lexsort((coo.col, coo.row))
+    bi_adj = sparse_ops.make_bi_adj(trn_mat, n_users, n_items)
+    return DataBundle(
+        user_num=int(n_users),
+        item_num=int(n_items),
+        train_users=jnp.asarray(coo.row[order], dtype=jnp.int32),
+        train_items=jnp.asarray(coo.col[order], dtype=jnp.int32),
+        train_edge_set=sparse_ops.build_edge_set(trn_mat),
+        valid=_eval_data(val_mat, trn_mat) if val_mat is not None else None,
+        test=_eval_data(tst_mat, trn_mat),
+        extras={
+            # normalised bidirectional adjacency over [U+I] nodes — the input to
+            # every general-CF propagation (LightGCN & subclasses).
+            "bi_adj": sparse_ops.from_scipy(bi_adj),
+            # raw train matrix kept host-side for models needing bespoke graph
+            # algebra at init (LightGCL SVD, DCCF intent graphs, ...).
+            "train_mat_scipy": trn_mat.tocoo(),
+        },
+    )
+
+
+def load(cfg) -> DataBundle:
+    d = _dataset_dir(cfg)
+    trn = load_one_mat(os.path.join(d, "train_mat.pkl"))
+    tst = load_one_mat(os.path.join(d, "test_mat.pkl"))
+    val_path = os.path.join(d, "valid_mat.pkl")
+    val = load_one_mat(val_path) if os.path.exists(val_path) else None
+    return bundle_from_matrices(trn, val, tst)

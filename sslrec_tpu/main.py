@@ -1,0 +1,54 @@
+"""CLI entry: train / tune / test-from-checkpoint (parity with ``main.py:9-72``).
+
+Usage::
+
+    python -m sslrec_tpu.main --model lightgcn [--dataset yelp] [--set k=v ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from sslrec_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
+import jax
+
+from sslrec_tpu.config import parse_cli
+from sslrec_tpu.data.registry import load_data
+from sslrec_tpu.models.registry import build_model
+from sslrec_tpu.trainer.logger import Logger
+from sslrec_tpu.trainer.trainer import Trainer
+from sslrec_tpu.utils import checkpoint as ckpt
+
+
+def main(argv=None):
+    cfg = parse_cli(argv)
+    logger = Logger(cfg)
+    logger.log(f"devices: {jax.devices()}")
+    data = load_data(cfg)
+    logger.log(f"data loaded: {data.user_num} users x {data.item_num} items, "
+               f"{data.n_train} train interactions")
+    model = build_model(cfg, data)
+
+    if cfg.tune.get("enable", False):
+        from sslrec_tpu.trainer.tuner import grid_search
+        grid_search(cfg, data, logger)
+        return
+
+    trainer = Trainer(cfg, model, data, logger)
+    pretrain = cfg.train.get("pretrain_path")
+    if pretrain:
+        # test-from-checkpoint mode (reference main.py:48-67)
+        key = jax.random.PRNGKey(int(cfg.train.seed))
+        template = model.init_params(key)
+        params = ckpt.load(pretrain, template)
+        results = trainer.test(params)
+        logger.log_eval(results, cfg.test.k, name="(test from checkpoint)")
+        return
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

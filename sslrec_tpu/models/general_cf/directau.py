@@ -1,0 +1,52 @@
+"""DirectAU — alignment + uniformity losses, no negatives.
+
+Parity with ``models/general_cf/directau.py:10-59``: LightGCN propagation with
+*mean* of layers (not sum), alignment on (anchor, positive), gamma-weighted mean
+of the two uniformity terms.  No edge dropout, no explicit reg term.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sslrec_tpu.models import losses
+from sslrec_tpu.models.base import RecModel
+from sslrec_tpu.ops.spmm import spmm
+from sslrec_tpu.utils.initializers import xavier_uniform
+
+
+class DirectAU(RecModel):
+    def __init__(self, cfg, data):
+        super().__init__(cfg, data)
+        self.adj = data.extras["bi_adj"]
+        self.layer_num = int(cfg.model.layer_num)
+        self.gamma = float(cfg.model.gamma)
+
+    def init_params(self, key):
+        uk, ik = jax.random.split(key)
+        return {
+            "user_embeds": xavier_uniform(uk, (self.user_num, self.embedding_size)),
+            "item_embeds": xavier_uniform(ik, (self.item_num, self.embedding_size)),
+        }
+
+    def propagate(self, params):
+        embeds = jnp.concatenate([params["user_embeds"], params["item_embeds"]], axis=0)
+        acc = embeds
+        for _ in range(self.layer_num):
+            embeds = spmm(self.adj, embeds)
+            acc = acc + embeds
+        acc = acc / (self.layer_num + 1)  # mean of layers (directau.py:37)
+        return acc[: self.user_num], acc[self.user_num:]
+
+    def loss(self, params, batch, key):
+        user_embeds, item_embeds = self.propagate(params)
+        anc = user_embeds[batch["user"]]
+        pos = item_embeds[batch["pos"]]
+        align = losses.alignment_loss(anc, pos)
+        uniform = self.gamma * (losses.uniformity_loss(anc)
+                                + losses.uniformity_loss(pos)) / 2.0
+        return align + uniform, {"align_loss": align, "uniform_loss": uniform}
+
+    def generate(self, params):
+        return self.propagate(params)

@@ -1,0 +1,59 @@
+"""LightGCN — k-layer linear propagation over the normalised bipartite adjacency.
+
+Capability parity with ``models/general_cf/lightgcn.py:11-66``: sum of layer
+embeddings, per-batch edge dropout at ``keep_rate``, BPR (mean over batch) +
+L2-of-all-params regularisation.  TPU-natively the propagation is a row-sorted
+COO gather/segment-sum (``ops/spmm.py``) and edge dropout is a static-shape 0/1
+edge-weight mask, all inside one jitted step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sslrec_tpu.models import augment, losses
+from sslrec_tpu.models.base import RecModel
+from sslrec_tpu.ops.spmm import spmm
+from sslrec_tpu.utils.initializers import xavier_uniform
+
+
+class LightGCN(RecModel):
+    def __init__(self, cfg, data):
+        super().__init__(cfg, data)
+        self.adj = data.extras["bi_adj"]
+        self.layer_num = int(cfg.model.layer_num)
+        self.reg_weight = float(cfg.model.reg_weight)
+        self.keep_rate = float(cfg.model.keep_rate)
+
+    def init_params(self, key):
+        uk, ik = jax.random.split(key)
+        return {
+            "user_embeds": xavier_uniform(uk, (self.user_num, self.embedding_size)),
+            "item_embeds": xavier_uniform(ik, (self.item_num, self.embedding_size)),
+        }
+
+    def propagate(self, params, edge_weight=None):
+        """Sum-of-layers propagation (``lightgcn.py:31-43``)."""
+        embeds = jnp.concatenate([params["user_embeds"], params["item_embeds"]], axis=0)
+        acc = embeds
+        for _ in range(self.layer_num):
+            embeds = spmm(self.adj, embeds, edge_weight=edge_weight)
+            acc = acc + embeds
+        return acc[: self.user_num], acc[self.user_num:]
+
+    def forward_train(self, params, key):
+        ew = augment.edge_drop_mask(key, self.adj.nnz, self.keep_rate)
+        return self.propagate(params, edge_weight=ew)
+
+    def loss(self, params, batch, key):
+        user_embeds, item_embeds = self.forward_train(params, key)
+        anc = user_embeds[batch["user"]]
+        pos = item_embeds[batch["pos"]]
+        neg = item_embeds[batch["neg"]]
+        bpr = losses.bpr_loss(anc, pos, neg) / anc.shape[0]
+        reg = self.reg_weight * losses.reg_params(params)
+        return bpr + reg, {"bpr_loss": bpr, "reg_loss": reg}
+
+    def generate(self, params):
+        return self.propagate(params, edge_weight=None)

@@ -1,0 +1,189 @@
+"""Sparse graph containers and host-side builders.
+
+TPU-first design notes
+----------------------
+TPUs have no cuSPARSE; the reference leans on ``torch.sparse`` / ``torch_sparse`` /
+``dgl`` for every graph propagation (e.g. ``models/general_cf/lightgcn.py:28-29``,
+``data_utils/data_handler_general_cf.py:53-73``).  Here the on-device format is
+**row-sorted COO** held as plain ``jnp`` int32/float32 arrays (a pytree), which XLA
+consumes via gather + (sorted) segment-sum — the layout the TPU scatter/gather units
+like.  Graph *construction* (normalisation, bidirectionalisation, motif algebra) is
+host-side scipy executed once at load time, mirroring the reference's semantics
+(``data_utils/data_handler_general_cf.py:37-73``) but producing device arrays.
+
+Membership tests (negative-sampling rejection, metric label lookup) use a sorted
+1-D array of edge codes ``row * n_cols + col`` searched with ``jnp.searchsorted`` —
+the fixed-shape, device-side replacement for the reference's host-python dok-matrix
+rejection loop (``data_utils/datasets_general_cf.py:13-20``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+
+class CooGraph(NamedTuple):
+    """Row-sorted COO sparse matrix resident on device (a JAX pytree).
+
+    ``rows``/``cols`` are int32 ``[nnz]``, ``vals`` float32 ``[nnz]``; ``n_rows`` /
+    ``n_cols`` are static Python ints (NamedTuple leaves of non-array type are
+    treated as auxiliary data by jit when closed over; we keep them as plain ints
+    and never trace them).
+    """
+
+    rows: jnp.ndarray
+    cols: jnp.ndarray
+    vals: jnp.ndarray
+    n_rows: int
+    n_cols: int
+
+    @property
+    def nnz(self) -> int:
+        return self.rows.shape[0]
+
+    def transpose(self) -> "CooGraph":
+        order = np.lexsort((np.asarray(self.cols), np.asarray(self.rows)))  # host-side
+        return CooGraph(
+            rows=jnp.asarray(np.asarray(self.cols)[order]),
+            cols=jnp.asarray(np.asarray(self.rows)[order]),
+            vals=jnp.asarray(np.asarray(self.vals)[order]),
+            n_rows=self.n_cols,
+            n_cols=self.n_rows,
+        )
+
+
+def from_scipy(mat: sp.spmatrix) -> CooGraph:
+    """Convert any scipy sparse matrix to a row-sorted device CooGraph."""
+    coo = mat.tocoo()
+    order = np.lexsort((coo.col, coo.row))
+    return CooGraph(
+        rows=jnp.asarray(coo.row[order], dtype=jnp.int32),
+        cols=jnp.asarray(coo.col[order], dtype=jnp.int32),
+        vals=jnp.asarray(coo.data[order], dtype=jnp.float32),
+        n_rows=int(coo.shape[0]),
+        n_cols=int(coo.shape[1]),
+    )
+
+
+def to_scipy(g: CooGraph) -> sp.coo_matrix:
+    return sp.coo_matrix(
+        (np.asarray(g.vals), (np.asarray(g.rows), np.asarray(g.cols))),
+        shape=(g.n_rows, g.n_cols),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side graph algebra (behavioural parity with the reference's builders)
+# ---------------------------------------------------------------------------
+
+def normalize_adj_sym(mat: sp.spmatrix, eps: float = 1e-10) -> sp.coo_matrix:
+    """Symmetric Laplacian normalisation D^-1/2 A D^-1/2.
+
+    Matches ``data_utils/data_handler_general_cf.py:37-51`` including the degree
+    epsilon and inf-zeroing (degrees computed over *rows*; for the symmetric
+    bidirectional adjacency row/col degrees coincide).
+    """
+    mat = mat.tocoo()
+    degree = np.asarray(mat.sum(axis=-1)).reshape(-1) + eps
+    d_inv_sqrt = np.power(degree, -0.5)
+    d_inv_sqrt[np.isinf(d_inv_sqrt)] = 0.0
+    d = sp.diags(d_inv_sqrt)
+    return (d @ mat @ d).tocoo()
+
+
+def normalize_adj_left(mat: sp.spmatrix, eps: float = 1e-10) -> sp.coo_matrix:
+    """Row (random-walk) normalisation D^-1 A."""
+    mat = mat.tocoo()
+    degree = np.asarray(mat.sum(axis=-1)).reshape(-1) + eps
+    d_inv = 1.0 / degree
+    d_inv[np.isinf(d_inv)] = 0.0
+    return (sp.diags(d_inv) @ mat).tocoo()
+
+
+def make_bi_adj(ui_mat: sp.spmatrix, n_users: int, n_items: int,
+                self_loop: bool = False) -> sp.coo_matrix:
+    """Bidirectional [[0, R], [R^T, 0]] adjacency, binarised then sym-normalised.
+
+    Parity with ``data_utils/data_handler_general_cf.py:53-73`` (no self loops by
+    default — the reference's self-loop line is commented out).
+    """
+    a = sp.csr_matrix((n_users, n_users))
+    b = sp.csr_matrix((n_items, n_items))
+    mat = sp.vstack([sp.hstack([a, ui_mat]), sp.hstack([ui_mat.transpose(), b])])
+    mat = (mat != 0) * 1.0
+    if self_loop:
+        mat = mat + sp.eye(mat.shape[0])
+    return normalize_adj_sym(mat)
+
+
+# ---------------------------------------------------------------------------
+# Edge-code membership structures (device-side set lookups)
+# ---------------------------------------------------------------------------
+
+class EdgeSet(NamedTuple):
+    """Device-side set of (row, col) pairs with O(log nnz) membership tests.
+
+    Primary mode packs ``row * n_cols + col`` into a sorted int32 code array
+    (JAX default int width; exact while ``n_rows * n_cols < 2^31``).  For larger
+    shapes (KG-scale entity spaces) it falls back to a padded per-row layout
+    searched by gather+compare — still fixed-shape and jittable.
+    """
+
+    codes: jnp.ndarray | None   # int32 [nnz] sorted, or None in padded mode
+    padded: "PaddedRows | None"  # fallback structure, or None in code mode
+    n_cols: int
+
+    def contains(self, rows: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
+        """Vectorised membership test; any shape, returns bool of same shape."""
+        if self.codes is not None:
+            q = rows.astype(jnp.int32) * jnp.int32(self.n_cols) + cols.astype(jnp.int32)
+            idx = jnp.searchsorted(self.codes, q)
+            idx = jnp.clip(idx, 0, self.codes.shape[0] - 1)
+            return self.codes[idx] == q
+        row_cols = self.padded.cols[rows]          # [..., W]
+        row_mask = self.padded.mask[rows]
+        return jnp.any((row_cols == cols[..., None]) & row_mask, axis=-1)
+
+
+def build_edge_set(mat: sp.spmatrix) -> "EdgeSet":
+    coo = mat.tocoo()
+    if int(coo.shape[0]) * int(coo.shape[1]) < 2**31:
+        codes = np.sort(coo.row.astype(np.int64) * coo.shape[1]
+                        + coo.col.astype(np.int64)).astype(np.int32)
+        return EdgeSet(codes=jnp.asarray(codes), padded=None, n_cols=int(coo.shape[1]))
+    return EdgeSet(codes=None, padded=build_padded_rows(mat), n_cols=int(coo.shape[1]))
+
+
+class PaddedRows(NamedTuple):
+    """Per-row column lists padded to a fixed width (static-shape 'ragged' rows).
+
+    Used for history masking in eval and ground-truth label lookup: the reference's
+    variable-length ``user_pos_lists`` / ``user_history_lists``
+    (``trainer/metrics.py:110-135``) become a dense ``[n_rows, width]`` int32 array
+    with an accompanying validity mask and per-row lengths.
+    """
+
+    cols: jnp.ndarray    # int32 [n_rows, width], padded with 0
+    mask: jnp.ndarray    # bool  [n_rows, width]
+    lengths: jnp.ndarray  # int32 [n_rows]
+
+
+def build_padded_rows(mat: sp.spmatrix, width: int | None = None) -> PaddedRows:
+    csr = mat.tocsr()
+    n_rows = csr.shape[0]
+    lengths = np.diff(csr.indptr).astype(np.int32)
+    if width is None:
+        width = max(int(lengths.max(initial=0)), 1)
+    cols = np.zeros((n_rows, width), dtype=np.int32)
+    mask = np.zeros((n_rows, width), dtype=bool)
+    for r in range(n_rows):
+        s, e = csr.indptr[r], csr.indptr[r + 1]
+        k = min(e - s, width)
+        cols[r, :k] = csr.indices[s:s + k]
+        mask[r, :k] = True
+    return PaddedRows(jnp.asarray(cols), jnp.asarray(mask), jnp.asarray(lengths))

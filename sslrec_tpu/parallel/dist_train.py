@@ -1,0 +1,182 @@
+"""Sharded LightGCN-family training step: TP (row-sharded tables + partitioned
+graph) × DP (sharded interaction batch) under ``shard_map``.
+
+Layout
+------
+User table padded to ``U_pad = P·U_loc`` rows and sharded over ``model``; item
+table likewise.  Node space for propagation is ``[users_pad; items_pad]``
+(``N_pad = U_pad + I_pad``).  Shard ``p`` owns user rows ``[p·U_loc, (p+1)·U_loc)``
+and item rows ``[p·I_loc, (p+1)·I_loc)``; its local propagation state is
+``[U_loc + I_loc, d]``.
+
+Per layer: ``all_gather`` over ``model`` reassembles the full ``[N_pad, d]``
+table (a reshape thanks to equal shard sizes), then each shard computes the
+segment-sum for the edges whose *destination* rows it owns (host-partitioned,
+padded to equal length; padding edges carry value 0).  Batch embedding lookup is
+the ownership-masked gather + ``psum`` over ``model``.  The loss is averaged over
+``data`` with ``pmean``; ``jax.grad`` differentiates through the whole
+``shard_map`` (all_gather ⇄ reduce-scatter).
+
+This is the parallelism the reference lacks entirely (SURVEY §2.5): embedding
+model-parallelism + graph partition parallelism + data parallelism in one step.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from sslrec_tpu.models import losses
+from sslrec_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, pad_to_multiple
+from sslrec_tpu.ops.sparse import CooGraph
+
+
+class ShardedGraph(NamedTuple):
+    """Destination-partitioned padded edge lists.
+
+    ``local_rows[p]``: destination row in shard-local node coordinates
+    (0..U_loc+I_loc); ``cols[p]``: source node in *global padded* coordinates;
+    ``vals[p]``: edge weight (0 for padding).  All ``[P, E_pad]``.
+    """
+
+    local_rows: jnp.ndarray
+    cols: jnp.ndarray
+    vals: jnp.ndarray
+    u_loc: int
+    i_loc: int
+    n_model: int
+
+    @property
+    def n_local(self) -> int:
+        return self.u_loc + self.i_loc
+
+
+def partition_graph(g: CooGraph, n_users: int, n_items: int, n_model: int) -> ShardedGraph:
+    """Host-side: split the bidirectional adjacency by destination-row owner.
+
+    ``g`` indexes nodes as [users; items] 0..U+I (unpadded).  Returns padded
+    per-shard edge arrays in the padded global/local coordinate system.
+    """
+    u_loc = pad_to_multiple(n_users, n_model) // n_model
+    i_loc = pad_to_multiple(n_items, n_model) // n_model
+    u_pad = u_loc * n_model
+    rows = np.asarray(g.rows)
+    cols = np.asarray(g.cols)
+    vals = np.asarray(g.vals)
+    # remap unpadded node id -> padded node id
+    def remap(x):
+        return np.where(x < n_users, x, u_pad + (x - n_users))
+    rows_p = remap(rows)
+    cols_p = remap(cols)
+    # owner + local index of each destination
+    is_user = rows_p < u_pad
+    owner = np.where(is_user, rows_p // u_loc, (rows_p - u_pad) // i_loc)
+    local = np.where(is_user, rows_p % u_loc, u_loc + (rows_p - u_pad) % i_loc)
+    e_max = max(int(np.max(np.bincount(owner, minlength=n_model))), 1)
+    lr = np.zeros((n_model, e_max), np.int32)
+    lc = np.zeros((n_model, e_max), np.int32)
+    lv = np.zeros((n_model, e_max), np.float32)
+    for p in range(n_model):
+        sel = owner == p
+        k = int(sel.sum())
+        order = np.argsort(local[sel], kind="stable")
+        lr[p, :k] = local[sel][order]
+        lc[p, :k] = cols_p[sel][order]
+        lv[p, :k] = vals[sel][order]
+    return ShardedGraph(jnp.asarray(lr), jnp.asarray(lc), jnp.asarray(lv),
+                        u_loc, i_loc, n_model)
+
+
+def _assemble_full(local_nodes: jnp.ndarray, u_loc: int, i_loc: int, axis: str):
+    """all_gather shard-local [U_loc+I_loc, d] states → global padded [N_pad, d]."""
+    gathered = lax.all_gather(local_nodes, axis)          # [P, U_loc+I_loc, d]
+    users = gathered[:, :u_loc].reshape(-1, local_nodes.shape[-1])
+    items = gathered[:, u_loc:].reshape(-1, local_nodes.shape[-1])
+    return jnp.concatenate([users, items], axis=0)        # [U_pad+I_pad, d]
+
+
+def _owned_lookup(table_local: jnp.ndarray, idx: jnp.ndarray, shard_size: int,
+                  axis: str) -> jnp.ndarray:
+    """Row-sharded table lookup: ownership-masked local gather + psum."""
+    p = lax.axis_index(axis)
+    off = p * shard_size
+    local_idx = jnp.clip(idx - off, 0, shard_size - 1)
+    owned = (idx >= off) & (idx < off + shard_size)
+    vals = table_local[local_idx]
+    return lax.psum(jnp.where(owned[:, None], vals, 0.0), axis)
+
+
+def build_sharded_lightgcn_step(mesh, sg: ShardedGraph, layer_num: int,
+                                reg_weight: float, keep_rate: float,
+                                optimizer):
+    """Returns (init_shardings, train_step_fn).
+
+    ``params`` = {'user_embeds': [U_pad, d] sharded P(model), 'item_embeds':
+    [I_pad, d] sharded P(model)}; batch arrays sharded P(data).
+    """
+    u_loc, i_loc = sg.u_loc, sg.i_loc
+
+    def propagate_local(u_local, i_local, e_rows, e_cols, e_vals):
+        x = jnp.concatenate([u_local, i_local], axis=0)   # [U_loc+I_loc, d]
+        acc = x
+        for _ in range(layer_num):
+            full = _assemble_full(x, u_loc, i_loc, MODEL_AXIS)
+            contrib = full[e_cols] * e_vals[:, None]
+            x = jax.ops.segment_sum(contrib, e_rows, num_segments=sg.n_local,
+                                    indices_are_sorted=True)
+            acc = acc + x
+        return acc[:u_loc], acc[u_loc:]
+
+    def shard_loss(u_emb, i_emb, e_rows, e_cols, e_vals, users, poss, negs, key):
+        # inside shard_map: u_emb [U_loc, d], e_* [1, E_pad] (model-sharded),
+        # users/poss/negs [B_loc] (data-sharded), key replicated.
+        e_rows, e_cols, ew = e_rows[0], e_cols[0], e_vals[0]
+        if keep_rate < 1.0:
+            # per-(data,model)-shard independent edge dropout
+            k = jax.random.fold_in(key, lax.axis_index(MODEL_AXIS))
+            k = jax.random.fold_in(k, lax.axis_index(DATA_AXIS))
+            drop = jnp.floor(jax.random.uniform(k, ew.shape) + keep_rate)
+            ew = ew * drop
+        fin_u, fin_i = propagate_local(u_emb, i_emb, e_rows, e_cols, ew)
+        anc = _owned_lookup(fin_u, users, u_loc, MODEL_AXIS)
+        pos = _owned_lookup(fin_i, poss, i_loc, MODEL_AXIS)
+        neg = _owned_lookup(fin_i, negs, i_loc, MODEL_AXIS)
+        bpr = losses.bpr_loss(anc, pos, neg) / anc.shape[0]
+        reg_local = jnp.sum(jnp.square(u_emb)) + jnp.sum(jnp.square(i_emb))
+        reg = reg_weight * lax.psum(reg_local, MODEL_AXIS)
+        loss = bpr + reg
+        # replicate over model (identical already), average over data shards
+        return lax.pmean(lax.pmean(loss, MODEL_AXIS), DATA_AXIS)
+
+    in_specs = (
+        P(MODEL_AXIS, None), P(MODEL_AXIS, None),          # tables
+        P(MODEL_AXIS, None), P(MODEL_AXIS, None), P(MODEL_AXIS, None),  # edges
+        P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),          # batch
+        P(),                                               # key
+    )
+    smapped = shard_map(shard_loss, mesh=mesh, in_specs=in_specs, out_specs=P(),
+                        check_rep=False)
+
+    def loss_fn(params, batch, key):
+        return smapped(params["user_embeds"], params["item_embeds"],
+                       sg.local_rows, sg.cols, sg.vals,
+                       batch["user"], batch["pos"], batch["neg"], key)
+
+    @jax.jit
+    def train_step(params, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    shardings = {
+        "user_embeds": NamedSharding(mesh, P(MODEL_AXIS, None)),
+        "item_embeds": NamedSharding(mesh, P(MODEL_AXIS, None)),
+    }
+    return shardings, train_step

@@ -1,0 +1,106 @@
+"""Full-sort top-k evaluation, entirely on device.
+
+Metric math is bit-parity with ``trainer/metrics.py``:
+
+- recall@k  = Σ_u |topk(u)[:k] ∩ gt(u)| / |gt(u)|            (``metrics.py:11-15``)
+- ndcg@k    = Σ_u dcg/idcg with idcg over min(k,|gt|) slots   (``metrics.py:29-45``)
+- precision = Σ_u |hits| / k                                  (``metrics.py:17-21``)
+- mrr       = Σ_u Σ_j hit_j / (j+1)                           (``metrics.py:23-27``)
+
+all divided by the number of test users (``metrics.py:120-124``).  The reference
+does this with host-python membership loops over topk lists
+(``metrics.py:47-55``); here the label matrix comes from a vectorised padded
+compare and the whole evaluation (generate → score → mask → top-k → metrics) is
+one jitted ``lax.scan`` over user batches, so the ``[B, n_items]`` score matrix
+never leaves the device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sslrec_tpu.data.base import EvalData, pad_to_batches
+from sslrec_tpu.ops.topk import masked_topk_indices, topk_indices
+
+_METRICS = ("recall", "ndcg", "precision", "mrr")
+
+
+def _batch_metric_sums(topk: jnp.ndarray, gt_cols: jnp.ndarray, gt_mask: jnp.ndarray,
+                       gt_len: jnp.ndarray, valid: jnp.ndarray, ks: tuple[int, ...]):
+    """Per-batch summed metrics; ``topk [B,Kmax]``, padded gt ``[B,W]``."""
+    # label matrix r[b, j] = topk[b, j] ∈ gt(b)   (replaces metrics.py:47-55)
+    hits = (topk[:, :, None] == gt_cols[:, None, :]) & gt_mask[:, None, :]
+    r = jnp.any(hits, axis=-1).astype(jnp.float32)          # [B, Kmax]
+    r = r * valid[:, None]
+    gt_len_f = jnp.maximum(gt_len.astype(jnp.float32), 1.0)
+    kmax = topk.shape[1]
+    ranks = jnp.arange(1, kmax + 1, dtype=jnp.float32)
+    inv_log2 = 1.0 / jnp.log2(ranks + 1.0)
+
+    out = {m: [] for m in _METRICS}
+    for k in ks:
+        rk = r[:, :k]
+        right = jnp.sum(rk, axis=1)
+        out["recall"].append(jnp.sum(right / gt_len_f))
+        out["precision"].append(jnp.sum(right) / k)
+        out["mrr"].append(jnp.sum(rk / ranks[None, :k]))
+        dcg = jnp.sum(rk * inv_log2[None, :k], axis=1)
+        ideal_len = jnp.minimum(gt_len, k)
+        # idcg = Σ_{j<ideal_len} 1/log2(j+2), via masked cumulative weights
+        slot = jnp.arange(k, dtype=jnp.int32)[None, :]
+        idcg = jnp.sum(jnp.where(slot < ideal_len[:, None], inv_log2[None, :k], 0.0), axis=1)
+        idcg = jnp.where(idcg == 0.0, 1.0, idcg)
+        out["ndcg"].append(jnp.sum(valid * dcg / idcg))
+    return {m: jnp.stack(v) for m, v in out.items()}
+
+
+class Evaluator:
+    """Compiled full-sort evaluator for one split."""
+
+    def __init__(self, model, eval_data: EvalData, cfg):
+        self.model = model
+        self.eval_data = eval_data
+        self.metrics = tuple(cfg.test.metrics)
+        self.ks = tuple(int(k) for k in cfg.test.k)
+        batch_size = int(cfg.test.batch_size)
+
+        users = np.asarray(eval_data.test_users)
+        n = users.shape[0]
+        batches = pad_to_batches(n, batch_size)          # [nb, B] indices into users
+        self._user_batches = jnp.asarray(users[batches])  # [nb, B] global user ids
+        # wrap-padded tail entries must not contribute: valid only for first n slots
+        flat_pos = np.arange(batches.size).reshape(batches.shape)
+        self._valid = jnp.asarray((flat_pos < n).astype(np.float32))
+        self._eval_jit = jax.jit(self._eval_all)
+
+    def _eval_all(self, params):
+        model, ed = self.model, self.eval_data
+        user_emb, item_emb = model.generate(params)
+        kmax = max(self.ks)
+
+        def body(carry, inp):
+            users, valid = inp
+            scores = model.rating(user_emb[users], item_emb)
+            if ed.history is not None:
+                topk = masked_topk_indices(
+                    scores, ed.history.cols[users], ed.history.mask[users], kmax)
+            else:
+                topk = topk_indices(scores, kmax)
+            sums = _batch_metric_sums(
+                topk, ed.ground_truth.cols[users], ed.ground_truth.mask[users],
+                ed.ground_truth.lengths[users], valid, self.ks)
+            return jax.tree.map(jnp.add, carry, sums), None
+
+        init = {m: jnp.zeros((len(self.ks),), jnp.float32) for m in _METRICS}
+        total, _ = lax.scan(body, init, (self._user_batches, self._valid))
+        return total
+
+    def __call__(self, params) -> dict[str, np.ndarray]:
+        sums = jax.device_get(self._eval_jit(params))
+        denom = float(self.eval_data.n_test_users)
+        return {m: np.asarray(sums[m]) / denom for m in self.metrics}

@@ -1,0 +1,190 @@
+"""Training loop: jitted whole-epoch ``lax.scan`` with early stopping.
+
+Reference behaviour being matched (``trainer/trainer.py:39-196``):
+- Adam optimiser from config (``:45-49``)
+- per-epoch negative resampling (``:55``; here fused into the jitted epoch)
+- evaluate every ``test_step`` epochs on valid (else test), early stop with
+  ``patience`` on ``metrics[0]@k[0]``, keep best parameters (``:102-126``)
+- final: reload best params, evaluate + test + optional save (``:129-137``)
+
+TPU-native differences: the *entire epoch* — shuffle, negative sampling, every
+train step — is one compiled XLA program (``lax.scan`` over fixed-shape batches),
+so there is no per-batch host dispatch; parameters/optimizer state are donated
+buffers that never leave the device.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from sslrec_tpu.data.base import DataBundle
+from sslrec_tpu.data.sampling import sample_negatives
+from sslrec_tpu.trainer.logger import Logger
+from sslrec_tpu.trainer.metrics import Evaluator
+from sslrec_tpu.utils import checkpoint as ckpt
+
+
+def build_optimizer(cfg) -> optax.GradientTransformation:
+    """Adam per the reference (``trainer/trainer.py:45-49``); weight_decay>0 →
+    torch-style Adam-with-L2 (optax ``add_decayed_weights`` before adam)."""
+    name = cfg.optimizer.get("name", "adam").lower()
+    lr = float(cfg.optimizer.lr)
+    wd = float(cfg.optimizer.get("weight_decay", 0.0) or 0.0)
+    if name != "adam":
+        raise NotImplementedError(f"optimizer {name}")
+    opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    if wd > 0:
+        opt = optax.chain(optax.add_decayed_weights(wd), opt)
+    return opt
+
+
+class Trainer:
+    """Default trainer; specialised flows are expressed through hooks.
+
+    Hooks a model may define (replacing the reference's 11 trainer subclasses):
+    - ``epoch_state(params, key, epoch) -> aux``: host-level per-epoch
+      computation (KMeans clustering, view generation, diffusion sub-loops);
+      the returned pytree is passed to ``loss`` as ``batch['aux']``.
+    - ``extra_batch_fields(key, n) -> dict``: additional per-interaction arrays.
+    """
+
+    def __init__(self, cfg, model, data: DataBundle, logger: Logger | None = None):
+        self.cfg = cfg
+        self.model = model
+        self.data = data
+        self.logger = logger or Logger(cfg)
+        self.optimizer = build_optimizer(cfg)
+        self.batch_size = int(cfg.train.batch_size)
+        self.n_batches = -(-data.n_train // self.batch_size)
+        self._epoch_fn = None
+
+    # ------------------------------------------------------------------
+    def _build_epoch_fn(self) -> Callable:
+        model, data, opt = self.model, self.data, self.optimizer
+        n_train, bsz, n_batches = data.n_train, self.batch_size, self.n_batches
+        pad = n_batches * bsz - n_train
+        has_aux_state = hasattr(model, "epoch_state")
+
+        def epoch_fn(params, opt_state, key, aux_state):
+            pkey, nkey, skey = jax.random.split(key, 3)
+            perm = jax.random.permutation(pkey, n_train).astype(jnp.int32)
+            if pad:
+                perm = jnp.concatenate([perm, perm[:pad]])
+            idx = perm.reshape(n_batches, bsz)
+            negs = sample_negatives(nkey, data.train_users, data.train_edge_set,
+                                    data.item_num)
+
+            def step(carry, inp):
+                params, opt_state = carry
+                bidx, bkey = inp
+                batch = {
+                    "user": data.train_users[bidx],
+                    "pos": data.train_items[bidx],
+                    "neg": negs[bidx],
+                }
+                if has_aux_state:
+                    batch["aux"] = aux_state
+                (loss, aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
+                    params, batch, bkey)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                aux = dict(aux, loss=loss)
+                return (params, opt_state), aux
+
+            keys = jax.random.split(skey, n_batches)
+            (params, opt_state), aux = lax.scan(step, (params, opt_state), (idx, keys))
+            mean_aux = jax.tree.map(jnp.mean, aux)
+            return params, opt_state, mean_aux
+
+        return jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+    def train_epoch(self, params, opt_state, key, epoch: int):
+        if self._epoch_fn is None:
+            self._epoch_fn = self._build_epoch_fn()
+        aux_state = None
+        if hasattr(self.model, "epoch_state"):
+            aux_state = self.model.epoch_state(params, key, epoch)
+        return self._epoch_fn(params, opt_state, key, aux_state)
+
+    # ------------------------------------------------------------------
+    def train(self, params=None):
+        cfg = self.cfg
+        seed = int(cfg.train.seed)
+        key = jax.random.PRNGKey(seed)
+        key, init_key = jax.random.split(key)
+        if params is None:
+            params = self.model.init_params(init_key)
+        opt_state = self.optimizer.init(params)
+
+        eval_split = self.data.valid if self.data.valid is not None else self.data.test
+        evaluator = Evaluator(self.model, eval_split, cfg)
+        test_evaluator = Evaluator(self.model, self.data.test, cfg)
+
+        metric0 = cfg.test.metrics[0]
+        patience = int(cfg.train.get("patience", 0) or 0)
+        early_stop = bool(cfg.train.get("early_stop", False))
+        test_step = int(cfg.train.get("test_step", 1))
+        n_epochs = int(cfg.train.epoch)
+
+        best_metric = -1.0
+        best_params = params
+        wait = 0
+        now = time.time()
+        for epoch in range(n_epochs):
+            key, ekey = jax.random.split(key)
+            params, opt_state, losses = self.train_epoch(params, opt_state, ekey, epoch)
+            if cfg.train.get("log_loss", True):
+                self.logger.log_loss(epoch, jax.device_get(losses))
+            if epoch % test_step == 0:
+                results = evaluator(params)
+                self.logger.log_eval(results, cfg.test.k, epoch=epoch,
+                                     name=f"(valid, {time.time()-now:.1f}s)")
+                now = time.time()
+                cur = float(results[metric0][0])
+                if cur > best_metric:
+                    best_metric = cur
+                    best_params = jax.tree.map(jnp.copy, params)
+                    wait = 0
+                else:
+                    wait += 1
+                if early_stop and wait >= patience:
+                    self.logger.log(f"Early stop at epoch {epoch} "
+                                    f"(best {metric0}@{cfg.test.k[0]}={best_metric:.5f})")
+                    break
+        else:
+            # fixed-epoch run without early stop keeps last params as best when
+            # nothing was better (reference keeps best snapshot too)
+            pass
+
+        final_valid = evaluator(best_params)
+        self.logger.log_eval(final_valid, cfg.test.k, name="(best valid)")
+        test_results = test_evaluator(best_params)
+        self.logger.log_eval(test_results, cfg.test.k, name="(test)")
+        if cfg.train.get("save_model", False):
+            ckpt.save(self._ckpt_path(), best_params)
+            self.logger.log(f"saved checkpoint to {self._ckpt_path()}")
+        self.best_params = best_params
+        self.test_results = test_results
+        return best_params
+
+    def evaluate(self, params):
+        split = self.data.valid if self.data.valid is not None else self.data.test
+        return Evaluator(self.model, split, self.cfg)(params)
+
+    def test(self, params):
+        return Evaluator(self.model, self.data.test, self.cfg)(params)
+
+    def _ckpt_path(self) -> str:
+        import datetime, os
+        name = self.cfg.model.name
+        d = os.path.join("./checkpoint", name)
+        os.makedirs(d, exist_ok=True)
+        ts = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        return os.path.join(d, f"{name}-{self.cfg.data.name}-{ts}.ckpt")

@@ -1,0 +1,100 @@
+"""Metric parity: device evaluator vs a numpy reimplementation of the reference
+protocol (``trainer/metrics.py``), and hand-computed values."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sslrec_tpu.config import Config
+from sslrec_tpu.trainer.metrics import Evaluator, _batch_metric_sums
+
+
+def _np_reference_metrics(topk, ground_truth, ks):
+    """Reference math (trainer/metrics.py:11-55) in plain numpy."""
+    n = len(ground_truth)
+    r = np.zeros((n, topk.shape[1]))
+    for i, gt in enumerate(ground_truth):
+        r[i] = [1.0 if it in gt else 0.0 for it in topk[i]]
+    out = {"recall": [], "ndcg": [], "precision": [], "mrr": []}
+    for k in ks:
+        rk = r[:, :k]
+        right = rk.sum(1)
+        recall_n = np.array([len(g) for g in ground_truth])
+        out["recall"].append(np.sum(right / recall_n))
+        out["precision"].append(np.sum(right) / k)
+        out["mrr"].append(np.sum(rk * (1.0 / np.arange(1, k + 1))))
+        test_matrix = np.zeros((n, k))
+        for i, g in enumerate(ground_truth):
+            test_matrix[i, :min(k, len(g))] = 1
+        idcg = np.sum(test_matrix / np.log2(np.arange(2, k + 2)), axis=1)
+        dcg = np.sum(rk / np.log2(np.arange(2, k + 2)), axis=1)
+        idcg[idcg == 0] = 1.0
+        out["ndcg"].append(np.sum(dcg / idcg))
+    return {m: np.asarray(v) for m, v in out.items()}
+
+
+def test_batch_metric_sums_parity():
+    rng = np.random.default_rng(0)
+    n_users, n_items, kmax, w = 17, 50, 10, 6
+    topk = np.stack([rng.choice(n_items, kmax, replace=False) for _ in range(n_users)])
+    ground_truth = [list(rng.choice(n_items, rng.integers(1, w), replace=False))
+                    for _ in range(n_users)]
+    gt_cols = np.zeros((n_users, w), np.int32)
+    gt_mask = np.zeros((n_users, w), bool)
+    gt_len = np.zeros((n_users,), np.int32)
+    for i, g in enumerate(ground_truth):
+        gt_cols[i, :len(g)] = g
+        gt_mask[i, :len(g)] = True
+        gt_len[i] = len(g)
+    ks = (3, 5, 10)
+    got = _batch_metric_sums(jnp.asarray(topk), jnp.asarray(gt_cols),
+                             jnp.asarray(gt_mask), jnp.asarray(gt_len),
+                             jnp.ones((n_users,), jnp.float32), ks)
+    ref = _np_reference_metrics(topk, ground_truth, ks)
+    for m in ref:
+        np.testing.assert_allclose(np.asarray(got[m]), ref[m], rtol=1e-5,
+                                   err_msg=m)
+
+
+def test_evaluator_end_to_end(tiny_bundle):
+    """Evaluator on a trivial 'model' whose scores are deterministic."""
+    import jax
+
+    class FakeModel:
+        def __init__(self, data):
+            self.data = data
+            key = jax.random.PRNGKey(0)
+            self.u = jax.random.normal(key, (data.user_num, 8))
+            self.i = jax.random.normal(jax.random.PRNGKey(1), (data.item_num, 8))
+
+        def generate(self, params):
+            return self.u, self.i
+
+        def rating(self, ue, ie):
+            return ue @ ie.T
+
+    data = tiny_bundle
+    cfg = Config({"test": {"metrics": ["recall", "ndcg", "precision", "mrr"],
+                           "k": [5, 10], "batch_size": 7}})
+    model = FakeModel(data)
+    ev = Evaluator(model, data.test, cfg)
+    got = ev(None)
+
+    # numpy reference: score, mask history, topk, metrics
+    scores = np.asarray(model.u) @ np.asarray(model.i).T
+    hist = data.test.history
+    test_users = np.asarray(data.test.test_users)
+    gt_cols = np.asarray(data.test.ground_truth.cols)
+    gt_mask = np.asarray(data.test.ground_truth.mask)
+    ground_truth = []
+    topks = []
+    for u in test_users:
+        s = scores[u].copy()
+        hc = np.asarray(hist.cols[u])[np.asarray(hist.mask[u])]
+        s[hc] = -1e8
+        order = np.argsort(-s, kind="stable")[:10]
+        topks.append(order)
+        ground_truth.append(list(gt_cols[u][gt_mask[u]]))
+    ref = _np_reference_metrics(np.stack(topks), ground_truth, (5, 10))
+    n = len(test_users)
+    for m in got:
+        np.testing.assert_allclose(got[m], ref[m] / n, rtol=1e-4, err_msg=m)

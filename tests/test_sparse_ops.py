@@ -1,0 +1,145 @@
+"""Kernel-parity tests: sparse containers, spmm, segment ops vs dense/scipy refs."""
+
+import numpy as np
+import scipy.sparse as sp
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sslrec_tpu.ops import sparse as sparse_ops
+from sslrec_tpu.ops.spmm import spmm, spmm_t, sddmm, spmm_dense_ref
+from sslrec_tpu.ops.segment import segment_softmax, segment_mean, segment_normalize
+from sslrec_tpu.ops.topk import masked_topk_indices, topk_indices
+
+
+def test_from_scipy_roundtrip(tiny_ui):
+    g = sparse_ops.from_scipy(tiny_ui)
+    back = sparse_ops.to_scipy(g)
+    assert (back != tiny_ui).nnz == 0
+    # row-sorted
+    rows = np.asarray(g.rows)
+    assert (np.diff(rows) >= 0).all()
+
+
+def test_normalize_adj_matches_reference_formula(tiny_ui):
+    """D^-1/2 A D^-1/2 with eps=1e-10 (data_handler_general_cf.py:37-51)."""
+    n_u, n_i = tiny_ui.shape
+    bi = sparse_ops.make_bi_adj(tiny_ui, n_u, n_i)
+    dense = np.zeros((n_u + n_i, n_u + n_i))
+    d = tiny_ui.toarray()
+    dense[:n_u, n_u:] = d
+    dense[n_u:, :n_u] = d.T
+    deg = dense.sum(-1) + 1e-10
+    dinv = deg ** -0.5
+    expected = dinv[:, None] * dense * dinv[None, :]
+    np.testing.assert_allclose(bi.toarray(), expected, rtol=1e-6, atol=1e-9)
+
+
+def test_spmm_matches_dense(tiny_ui):
+    g = sparse_ops.from_scipy(sparse_ops.make_bi_adj(tiny_ui, *tiny_ui.shape))
+    x = jax.random.normal(jax.random.PRNGKey(0), (g.n_cols, 16))
+    np.testing.assert_allclose(spmm(g, x), spmm_dense_ref(g, x), rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_t_matches_transpose(tiny_ui):
+    g = sparse_ops.from_scipy(tiny_ui)
+    x = jax.random.normal(jax.random.PRNGKey(1), (g.n_rows, 8))
+    gt = g.transpose()
+    np.testing.assert_allclose(spmm_t(g, x), spmm(gt, x), rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_edge_weight_drop(tiny_ui):
+    g = sparse_ops.from_scipy(tiny_ui)
+    x = jax.random.normal(jax.random.PRNGKey(2), (g.n_cols, 4))
+    ew = jnp.zeros((g.nnz,))
+    out = spmm(g, x, edge_weight=ew)
+    np.testing.assert_allclose(out, np.zeros((g.n_rows, 4)), atol=1e-7)
+
+
+def test_sddmm(tiny_ui):
+    g = sparse_ops.from_scipy(tiny_ui)
+    a = jax.random.normal(jax.random.PRNGKey(3), (g.n_rows, 8))
+    b = jax.random.normal(jax.random.PRNGKey(4), (g.n_cols, 8))
+    out = np.asarray(sddmm(g, a, b))
+    full = np.asarray(a) @ np.asarray(b).T
+    np.testing.assert_allclose(out, full[np.asarray(g.rows), np.asarray(g.cols)],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_segment_softmax_sums_to_one():
+    ids = jnp.asarray([0, 0, 1, 1, 1, 3])
+    logits = jnp.asarray([1.0, 2.0, -1.0, 0.5, 100.0, 3.0])
+    out = segment_softmax(logits, ids, num_segments=4)
+    sums = jax.ops.segment_sum(out, ids, num_segments=4)
+    np.testing.assert_allclose(sums, [1.0, 1.0, 0.0, 1.0], atol=1e-6)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_segment_mean():
+    ids = jnp.asarray([0, 0, 2])
+    data = jnp.asarray([[2.0], [4.0], [5.0]])
+    out = segment_mean(data, ids, 3)
+    np.testing.assert_allclose(out, [[3.0], [0.0], [5.0]], atol=1e-6)
+
+
+def test_segment_normalize():
+    ids = jnp.asarray([0, 0, 1])
+    data = jnp.asarray([1.0, 3.0, 2.0])
+    out = segment_normalize(data, ids, 2)
+    np.testing.assert_allclose(out, [0.25, 0.75, 1.0], rtol=1e-6)
+
+
+def test_edge_set_membership(tiny_ui):
+    es = sparse_ops.build_edge_set(tiny_ui)
+    coo = tiny_ui.tocoo()
+    r = jnp.asarray(coo.row[:10], dtype=jnp.int32)
+    c = jnp.asarray(coo.col[:10], dtype=jnp.int32)
+    assert bool(es.contains(r, c).all())
+    dense = tiny_ui.toarray()
+    # find a guaranteed non-edge
+    ui = np.argwhere(dense == 0)[:10]
+    r2 = jnp.asarray(ui[:, 0], dtype=jnp.int32)
+    c2 = jnp.asarray(ui[:, 1], dtype=jnp.int32)
+    assert not bool(es.contains(r2, c2).any())
+
+
+def test_edge_set_padded_mode(tiny_ui):
+    """Fallback path for shapes where row*n_cols+col would overflow int32."""
+    es = sparse_ops.EdgeSet(codes=None,
+                            padded=sparse_ops.build_padded_rows(tiny_ui),
+                            n_cols=tiny_ui.shape[1])
+    coo = tiny_ui.tocoo()
+    r = jnp.asarray(coo.row[:10], dtype=jnp.int32)
+    c = jnp.asarray(coo.col[:10], dtype=jnp.int32)
+    assert bool(es.contains(r, c).all())
+    dense = tiny_ui.toarray()
+    ui = np.argwhere(dense == 0)[:10]
+    assert not bool(es.contains(jnp.asarray(ui[:, 0], dtype=jnp.int32),
+                                jnp.asarray(ui[:, 1], dtype=jnp.int32)).any())
+
+
+def test_padded_rows(tiny_ui):
+    pr = sparse_ops.build_padded_rows(tiny_ui)
+    csr = tiny_ui.tocsr()
+    for r in [0, 5, 17]:
+        expect = sorted(csr.indices[csr.indptr[r]:csr.indptr[r + 1]])
+        got = sorted(np.asarray(pr.cols[r])[np.asarray(pr.mask[r])])
+        assert got == expect
+        assert int(pr.lengths[r]) == len(expect)
+
+
+def test_masked_topk():
+    scores = jnp.asarray([[5.0, 4.0, 3.0, 2.0, 1.0],
+                          [1.0, 2.0, 3.0, 4.0, 5.0]])
+    mask_cols = jnp.asarray([[0, 1], [4, 0]], dtype=jnp.int32)
+    mask_valid = jnp.asarray([[True, False], [True, True]])
+    out = np.asarray(masked_topk_indices(scores, mask_cols, mask_valid, 2))
+    # row 0: col 0 masked (col 1 padding → untouched) → top2 = [1, 2]
+    np.testing.assert_array_equal(out[0], [1, 2])
+    # row 1: cols 4 and 0 masked → top2 = [3, 2]
+    np.testing.assert_array_equal(out[1], [3, 2])
+
+
+def test_topk_plain():
+    scores = jnp.asarray([[1.0, 9.0, 3.0]])
+    np.testing.assert_array_equal(np.asarray(topk_indices(scores, 2))[0], [1, 2])

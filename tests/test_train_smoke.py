@@ -1,0 +1,80 @@
+"""End-to-end integration: tiny synthetic dataset through train→eval (SURVEY §4.3).
+
+LightGCN must beat a random scorer on held-out data after a few epochs — this
+exercises the full pipeline (sampler, jitted epoch scan, optimiser, evaluator,
+early stopping bookkeeping) on the CPU backend.
+"""
+
+import numpy as np
+import jax
+
+from sslrec_tpu.config import load_config
+from sslrec_tpu.data.general_cf import bundle_from_matrices
+from sslrec_tpu.models.registry import build_model
+from sslrec_tpu.trainer.trainer import Trainer
+from sslrec_tpu.trainer.metrics import Evaluator
+from tests.conftest import random_ui_matrix
+
+
+class _SilentLogger:
+    def log(self, *a, **k):
+        pass
+
+    log_loss = log
+    log_eval = log
+
+
+def _make_bundle(seed=0):
+    # structured data: users prefer items with matching parity so there is signal
+    rng = np.random.default_rng(seed)
+    n_u, n_i = 80, 60
+    rows, cols = [], []
+    for u in range(n_u):
+        liked = [i for i in range(n_i) if i % 2 == u % 2]
+        pick = rng.choice(liked, size=12, replace=False)
+        rows += [u] * len(pick)
+        cols += list(pick)
+    import scipy.sparse as sp
+    full = sp.coo_matrix((np.ones(len(rows)), (rows, cols)), shape=(n_u, n_i))
+    full = full.tocsr()
+    trn = full.copy().tolil()
+    tst = sp.lil_matrix(full.shape)
+    for u in range(n_u):
+        items = full[u].indices
+        tst[u, items[-3:]] = 1
+        trn[u, items[-3:]] = 0
+    return bundle_from_matrices(trn.tocoo(), None, tst.tocoo())
+
+
+def test_lightgcn_learns():
+    data = _make_bundle()
+    cfg = load_config("lightgcn", overrides={
+        "train.epoch": 30, "train.batch_size": 256, "train.test_step": 10,
+        "train.patience": 0, "test.batch_size": 32, "test.k": [5, 10],
+        "model.embedding_size": 16,
+    })
+    model = build_model(cfg, data)
+    # random-params baseline
+    ev = Evaluator(model, data.test, cfg)
+    params0 = model.init_params(jax.random.PRNGKey(0))
+    before = ev(params0)["recall"][0]
+    trainer = Trainer(cfg, model, data, logger=_SilentLogger())
+    best = trainer.train(params0)
+    after = trainer.test_results["recall"][0]
+    assert after > before + 0.05, (before, after)
+    # parity-protocol sanity: recall@10 >= recall@5
+    assert trainer.test_results["recall"][1] >= trainer.test_results["recall"][0]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from sslrec_tpu.utils import checkpoint as ckpt
+    data = _make_bundle(1)
+    cfg = load_config("lightgcn", overrides={"model.embedding_size": 8})
+    model = build_model(cfg, data)
+    params = model.init_params(jax.random.PRNGKey(0))
+    p = tmp_path / "m.ckpt"
+    ckpt.save(str(p), params)
+    template = model.init_params(jax.random.PRNGKey(1))
+    restored = ckpt.load(str(p), template)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
