@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from sslrec_tpu.data.base import DataBundle, EvalData
 from sslrec_tpu.ops import sparse as sparse_ops
+from sslrec_tpu.ops.pallas_spmm import maybe_pallas
 
 _DEFAULT_DATA_ROOT = "/root/reference/datasets"
 
@@ -68,8 +69,9 @@ def bundle_from_matrices(trn_mat: sp.spmatrix, val_mat: sp.spmatrix | None,
         test=_eval_data(tst_mat, trn_mat),
         extras={
             # normalised bidirectional adjacency over [U+I] nodes — the input to
-            # every general-CF propagation (LightGCN & subclasses).
-            "bi_adj": sparse_ops.from_scipy(bi_adj),
+            # every general-CF propagation (LightGCN & subclasses).  On TPU this
+            # is pre-blocked for the scatter-free Pallas spmm kernel.
+            "bi_adj": maybe_pallas(bi_adj),
             # raw train matrix kept host-side for models needing bespoke graph
             # algebra at init (LightGCL SVD, DCCF intent graphs, ...).
             "train_mat_scipy": trn_mat.tocoo(),

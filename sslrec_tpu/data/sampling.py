@@ -19,10 +19,12 @@ import jax.numpy as jnp
 from sslrec_tpu.ops.sparse import EdgeSet
 
 
-@partial(jax.jit, static_argnames=("n_items", "rounds"))
+@partial(jax.jit, static_argnames=("n_items", "rounds", "low"))
 def sample_negatives(key: jax.Array, users: jnp.ndarray, edge_set: EdgeSet,
-                     n_items: int, rounds: int = 6) -> jnp.ndarray:
-    """One negative item per interaction: uniform over items, rejecting train edges.
+                     n_items: int, rounds: int = 6, low: int = 0) -> jnp.ndarray:
+    """One negative item per interaction: uniform over [low, n_items), rejecting
+    train edges.  ``low=1`` replicates the sequential sampler's 1-indexed draw
+    (``data_utils/datasets_sequential.py:176``).
 
     ``users``: int32 [n]; returns int32 [n].
     """
@@ -30,7 +32,7 @@ def sample_negatives(key: jax.Array, users: jnp.ndarray, edge_set: EdgeSet,
 
     def body(carry, k):
         negs, done = carry
-        cand = jax.random.randint(k, (n,), 0, n_items, dtype=jnp.int32)
+        cand = jax.random.randint(k, (n,), low, n_items, dtype=jnp.int32)
         is_pos = edge_set.contains(users, cand)
         take = jnp.logical_and(~done, ~is_pos)
         negs = jnp.where(take, cand, negs)
@@ -42,7 +44,7 @@ def sample_negatives(key: jax.Array, users: jnp.ndarray, edge_set: EdgeSet,
     (negs, done), _ = jax.lax.scan(body, init, keys)
     # Pathological fallback (a user interacting with every item): accept the last
     # candidate even if positive, mirroring "loop forever" semantics closely enough.
-    last = jax.random.randint(keys[-1], (n,), 0, n_items, dtype=jnp.int32)
+    last = jax.random.randint(keys[-1], (n,), low, n_items, dtype=jnp.int32)
     return jnp.where(done, negs, last)
 
 

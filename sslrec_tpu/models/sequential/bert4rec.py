@@ -1,0 +1,71 @@
+"""BERT4Rec — masked-item modelling over a bidirectional transformer.
+
+Parity with ``models/sequential/bert4rec.py:9-108``: vocabulary is
+``item_num + 2`` (pad 0, mask token ``item_num+1``); 80/10/10 masking at
+``mask_prob`` applied to the (seq + last_item) window; CE with ignore_index 0
+over ``item_num + 1`` classes; test appends the mask token and scores its final
+position.  The reference masks with a host-python per-token loop
+(``_transform_train_seq`` ``:42-73``); here the same per-token distribution is
+drawn vectorised on device from the PRNG key inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sslrec_tpu.models import layers, losses
+from sslrec_tpu.models.sequential.base_seq import SequentialModel
+
+
+class BERT4Rec(SequentialModel):
+    batch_fields = ("user", "seq_last", "pos")
+
+    def __init__(self, cfg, data):
+        super().__init__(cfg, data)
+        self.mask_prob = float(cfg.model.mask_prob)
+        self.mask_token = self.item_num + 1
+
+    def init_params(self, key):
+        k1, k2 = jax.random.split(key)
+        p = layers.init_transformer_tower(
+            k1, self.item_num + 2, self.emb_size, self.max_len,
+            self.n_layers)
+        p["out_fc"] = layers.init_linear_normal(k2, self.emb_size, self.item_num + 1)
+        return p
+
+    def _mask_train_seq(self, key, seqs):
+        """Vectorised 80/10/10 masking (same distribution as bert4rec.py:42-73)."""
+        ku, kr = jax.random.split(key)
+        u = jax.random.uniform(ku, seqs.shape)
+        rand_items = jax.random.randint(kr, seqs.shape, 1, self.item_num + 1,
+                                        dtype=seqs.dtype)
+        selected = (u < self.mask_prob) & (seqs != 0)
+        sub = u / self.mask_prob  # uniform again, conditioned on selection
+        replacement = jnp.where(sub < 0.8, self.mask_token,
+                                jnp.where(sub < 0.9, rand_items, seqs))
+        masked_seqs = jnp.where(selected, replacement, seqs)
+        labels = jnp.where(selected, seqs, 0)
+        return masked_seqs, labels
+
+    def loss(self, params, batch, key):
+        kmask, kdrop = jax.random.split(key)
+        masked_seqs, labels = self._mask_train_seq(kmask, batch["seq_last"])
+        h = layers.apply_transformer_tower(params, kdrop, masked_seqs, self.n_heads,
+                                           self.dropout_rate, deterministic=False)
+        logits = layers.apply_linear(params["out_fc"], h)  # [B, L, item_num+1]
+        loss = losses.cross_entropy_ignore(
+            logits.reshape(-1, logits.shape[-1]), labels.reshape(-1), 0)
+        return loss, {"rec_loss": loss}
+
+    def encode_for_predict(self, params, seqs):
+        # append mask token at the end of the window (bert4rec.py:75-80)
+        seqs = jnp.concatenate(
+            [seqs[:, 1:], jnp.full((seqs.shape[0], 1), self.mask_token, seqs.dtype)],
+            axis=1)
+        h = layers.apply_transformer_tower(params, jax.random.PRNGKey(0), seqs,
+                                           self.n_heads, 0.0, deterministic=True)
+        return h[:, -1, :]
+
+    def item_logits_params(self, params):
+        return params["out_fc"]["w"].T, params["out_fc"]["b"]

@@ -1,0 +1,282 @@
+"""Pallas TPU kernel for sparse-matrix × dense-matrix (core kernel #1, SURVEY §7).
+
+Why not XLA scatter: ``jax.ops.segment_sum`` lowers to scatter-add, which TPUs
+execute (near-)serially — measured ~23 ms/step for LightGCN/Yelp where the math
+is sub-millisecond.  This kernel reformulates the sorted segment-sum as a chain
+of small MXU matmuls with *no scatter anywhere*:
+
+Host-side (once per graph), edges sorted by destination row are grouped into
+row-blocks of ``R`` rows, and each row-block's edge list is padded to a multiple
+of the chunk size ``M``; chunks therefore never straddle row-blocks.  On device:
+
+    contrib[e] = vals[e] * x[cols[e]]                (XLA gather — fast on TPU)
+    for each chunk c (sequential TPU grid):
+        onehot[R, M] = (local_rows[c] == iota_R)     (VPU compare)
+        out[owner[c]] (+)= onehot @ contrib[c]       (MXU matmul)
+
+Consecutive chunks hit the same output block (edges sorted), so the accumulator
+stays resident in VMEM; the block is zeroed on first visit (``owner`` changes).
+``owner`` indices arrive via scalar prefetch and drive the output BlockSpec
+index_map.  The backward pass is the same kernel on the transposed graph
+(dx = Aᵀ·g) plus a gather-dot for edge-weight gradients — still scatter-free.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sslrec_tpu.ops.sparse import CooGraph
+
+# Default tile sizes: R rows per output block, M edges per chunk.
+_R = 256
+_M = 512
+
+
+class BlockedGraph(NamedTuple):
+    """Host-precomputed chunked/padded edge layout for one propagation direction.
+
+    ``cols``: [n_chunks*M] source node (0 for padding; padding vals are 0)
+    ``vals``: [n_chunks*M] edge weight (0 for padding)
+    ``edge_ids``: [n_chunks*M] original edge index (0 for padding) — lets a
+        per-edge multiplier defined on the *original* edge order (dropout masks,
+        learned gates) be gathered into the padded layout
+    ``local_rows``: [n_chunks, M] destination row within its block (R ⇒ padding,
+        matches nothing in the iota compare)
+    ``owners``: [n_chunks] output row-block index of each chunk
+    ``n_rows_pad``: padded row count (n_blocks * R)
+    """
+
+    cols: jnp.ndarray
+    vals: jnp.ndarray
+    edge_ids: jnp.ndarray
+    local_rows: jnp.ndarray
+    owners: jnp.ndarray
+    n_rows: int
+    n_rows_pad: int
+    n_chunks: int
+    r: int
+    m: int
+
+
+def make_blocked(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+                 n_rows: int, r: int = _R, m: int = _M,
+                 edge_id_map: np.ndarray | None = None) -> BlockedGraph:
+    """Build the chunked layout from row-sorted COO arrays (host numpy, once).
+
+    Fully vectorised: each edge's destination slot is computed from its position
+    within its row-block's edge span, then scattered in one shot.
+    """
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    vals = np.asarray(vals)
+    assert (np.diff(rows) >= 0).all(), "edges must be sorted by destination row"
+    n_blocks = max(-(-n_rows // r), 1)
+    block_of_edge = rows // r
+    counts = np.bincount(block_of_edge, minlength=n_blocks)
+    chunks_per_block = np.maximum(-(-counts // m), 1)
+    n_chunks = int(chunks_per_block.sum())
+
+    estart = np.concatenate([[0], np.cumsum(counts)])[:-1]          # per block
+    chunk_base = np.concatenate([[0], np.cumsum(chunks_per_block)])[:-1]
+    within = np.arange(rows.shape[0]) - estart[block_of_edge]
+    dest = (chunk_base[block_of_edge] + within // m) * m + within % m
+
+    p_cols = np.zeros((n_chunks * m,), np.int32)
+    p_vals = np.zeros((n_chunks * m,), np.float32)
+    p_eids = np.zeros((n_chunks * m,), np.int32)
+    p_lrows = np.full((n_chunks * m,), r, np.int32)
+    p_cols[dest] = cols
+    p_vals[dest] = vals
+    eids = np.arange(rows.shape[0], dtype=np.int32)
+    if edge_id_map is not None:  # map positions back to an original edge order
+        eids = np.asarray(edge_id_map, np.int32)[eids]
+    p_eids[dest] = eids
+    p_lrows[dest] = rows - block_of_edge * r
+    owners = np.repeat(np.arange(n_blocks, dtype=np.int32), chunks_per_block)
+
+    return BlockedGraph(
+        cols=jnp.asarray(p_cols), vals=jnp.asarray(p_vals),
+        edge_ids=jnp.asarray(p_eids),
+        # [n_chunks, 1, M]: TPU-tileable block (1, 1, M)
+        local_rows=jnp.asarray(p_lrows.reshape(n_chunks, 1, m)),
+        owners=jnp.asarray(owners),
+        n_rows=int(n_rows), n_rows_pad=n_blocks * r,
+        n_chunks=n_chunks, r=r, m=m)
+
+
+def _spmm_kernel(owners_ref, lrows_ref, contrib_ref, out_ref):
+    """One chunk: out[owner] (+)= onehot(local_rows) @ contrib."""
+    import jax.lax as lax
+
+    i = _pl().program_id(0)
+    r = out_ref.shape[0]
+    m = contrib_ref.shape[0]
+
+    is_first = jnp.logical_or(
+        i == 0, owners_ref[i] != owners_ref[jnp.maximum(i - 1, 0)])
+
+    lrows = lrows_ref[0, 0, :]                            # [M]
+    row_ids = lax.broadcasted_iota(jnp.int32, (r, m), 0)  # [R, M]
+    onehot = (row_ids == lrows[None, :]).astype(jnp.float32)
+    # HIGHEST precision: exact f32 accumulate (default MXU bf16 3-pass loses
+    # ~2^-8 relative on the gathered values; the matmul is not the bottleneck)
+    update = jax.lax.dot(onehot, contrib_ref[...],
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+
+    @_pl().when(is_first)
+    def _():
+        out_ref[...] = update
+
+    @_pl().when(jnp.logical_not(is_first))
+    def _():
+        out_ref[...] = out_ref[...] + update
+
+
+@functools.lru_cache(maxsize=1)
+def _pl():
+    from jax.experimental import pallas as pl
+    return pl
+
+
+@functools.lru_cache(maxsize=1)
+def _pltpu():
+    from jax.experimental.pallas import tpu as pltpu
+    return pltpu
+
+
+def _blocked_matvec(bg: BlockedGraph, contrib: jnp.ndarray,
+                    interpret: bool) -> jnp.ndarray:
+    """Run the chunked reduction kernel; contrib is [n_chunks*M, d] padded."""
+    pl = _pl()
+    pltpu = _pltpu()
+    d = contrib.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bg.n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 1, bg.m), lambda i, owners: (i, 0, 0)),
+            pl.BlockSpec((bg.m, d), lambda i, owners: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((bg.r, d), lambda i, owners: (owners[i], 0)),
+    )
+    out = pl.pallas_call(
+        _spmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bg.n_rows_pad, d), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bg.n_chunks * bg.r * bg.m * d,
+            bytes_accessed=contrib.size * 4 + bg.n_rows_pad * d * 4,
+            transcendentals=0),
+    )(bg.owners, bg.local_rows, contrib)
+    return out[: bg.n_rows]
+
+
+class PallasGraph(NamedTuple):
+    """Forward + transpose blocked layouts for a sparse operator."""
+
+    fwd: BlockedGraph
+    bwd: BlockedGraph  # transpose direction (dx = Aᵀ g)
+    # original row-sorted edge arrays (for edge-weight gradients)
+    rows: jnp.ndarray
+    cols: jnp.ndarray
+    vals: jnp.ndarray
+    n_rows: int
+    n_cols: int
+
+    @property
+    def nnz(self) -> int:
+        return self.rows.shape[0]
+
+
+def build_pallas_graph_host(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+                            n_rows: int, n_cols: int,
+                            r: int = _R, m: int = _M) -> PallasGraph:
+    """Build from host numpy COO arrays (row-sorted). Never touches the device
+    for layout computation — critical when the TPU is behind a slow tunnel
+    (device→host fetches were measured at ~70s/MB)."""
+    order0 = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order0], cols[order0], vals[order0]
+    fwd = make_blocked(rows, cols, vals, n_rows, r, m)
+    order = np.lexsort((rows, cols))
+    bwd = make_blocked(cols[order], rows[order], vals[order], n_cols, r, m,
+                       edge_id_map=order)
+    return PallasGraph(fwd=fwd, bwd=bwd,
+                       rows=jnp.asarray(rows, dtype=jnp.int32),
+                       cols=jnp.asarray(cols, dtype=jnp.int32),
+                       vals=jnp.asarray(vals, dtype=jnp.float32),
+                       n_rows=int(n_rows), n_cols=int(n_cols))
+
+
+def build_pallas_graph(g: CooGraph, r: int = _R, m: int = _M) -> PallasGraph:
+    # one batched device→host fetch (avoid when host arrays are available —
+    # use build_pallas_graph_host instead)
+    rows, cols, vals = jax.device_get((g.rows, g.cols, g.vals))
+    return build_pallas_graph_host(np.asarray(rows), np.asarray(cols),
+                                   np.asarray(vals), g.n_rows, g.n_cols, r, m)
+
+
+def maybe_pallas(mat, r: int = _R, m: int = _M):
+    """Given a host scipy sparse matrix (preferred) or a CooGraph, return a
+    PallasGraph on TPU backends (or when SSLREC_USE_PALLAS=1), else a CooGraph
+    for the XLA segment-sum path."""
+    import os
+    import scipy.sparse as sp
+    import jax
+
+    mode = os.environ.get("SSLREC_USE_PALLAS", "auto")
+    use = mode == "1" or (mode != "0" and jax.default_backend() == "tpu")
+    if sp.issparse(mat):
+        if use:
+            coo = mat.tocoo()
+            return build_pallas_graph_host(
+                coo.row.astype(np.int64), coo.col.astype(np.int64),
+                coo.data.astype(np.float32), coo.shape[0], coo.shape[1], r, m)
+        from sslrec_tpu.ops.sparse import from_scipy
+        return from_scipy(mat)
+    return build_pallas_graph(mat, r, m) if use else mat
+
+
+def _contrib(bg: BlockedGraph, x: jnp.ndarray, edge_weight: jnp.ndarray | None):
+    """Padded per-edge contributions vals*ew*x[col] (XLA gather + fuse)."""
+    v = bg.vals
+    if edge_weight is not None:
+        v = v * edge_weight[bg.edge_ids]
+    return x[bg.cols] * v[:, None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3))
+def pallas_spmm(pg: PallasGraph, x: jnp.ndarray,
+                edge_weight: jnp.ndarray | None = None,
+                interpret: bool = False) -> jnp.ndarray:
+    """``A @ x`` with optional per-edge multiplier; scatter-free on TPU.
+
+    ``x``: [n_cols, d] float32.  Differentiable wrt ``x`` and ``edge_weight``.
+    """
+    return _blocked_matvec(pg.fwd, _contrib(pg.fwd, x, edge_weight), interpret)
+
+
+def _fwd(pg, x, edge_weight, interpret):
+    out = pallas_spmm(pg, x, edge_weight, interpret)
+    return out, (x, edge_weight)
+
+
+def _bwd(pg, interpret, res, g):
+    x, edge_weight = res
+    # dx = Aᵀ (ew) @ g
+    dx = _blocked_matvec(pg.bwd, _contrib(pg.bwd, g, edge_weight), interpret)
+    if edge_weight is None:
+        dew = None
+    else:
+        # d ew[e] = vals[e] * <g[row_e], x[col_e]> — pure gathers
+        dew = pg.vals * jnp.sum(g[pg.rows] * x[pg.cols], axis=-1)
+    return dx, dew
+
+
+pallas_spmm.defvjp(_fwd, _bwd)

@@ -47,7 +47,8 @@ class CooGraph(NamedTuple):
         return self.rows.shape[0]
 
     def transpose(self) -> "CooGraph":
-        order = np.lexsort((np.asarray(self.cols), np.asarray(self.rows)))  # host-side
+        # lexsort: last key is primary → sort by old cols (the new rows)
+        order = np.lexsort((np.asarray(self.rows), np.asarray(self.cols)))  # host-side
         return CooGraph(
             rows=jnp.asarray(np.asarray(self.cols)[order]),
             cols=jnp.asarray(np.asarray(self.rows)[order]),

@@ -20,12 +20,19 @@ import jax.numpy as jnp
 from sslrec_tpu.ops.sparse import CooGraph
 
 
-def spmm(g: CooGraph, x: jnp.ndarray, edge_weight: jnp.ndarray | None = None) -> jnp.ndarray:
-    """``A @ x`` for row-sorted COO ``A``; ``x`` is ``[n_cols, d]``.
+def spmm(g, x: jnp.ndarray, edge_weight: jnp.ndarray | None = None) -> jnp.ndarray:
+    """``A @ x``; ``x`` is ``[n_cols, d]``.
 
-    ``edge_weight``: optional ``[nnz]`` multiplier on ``g.vals`` (e.g. a 0/1 edge
-    dropout mask, or learned edge gates).  Static shapes throughout.
+    ``g`` is either a :class:`CooGraph` (XLA gather + sorted segment-sum path)
+    or a :class:`~sslrec_tpu.ops.pallas_spmm.PallasGraph` (scatter-free MXU
+    kernel).  ``edge_weight``: optional ``[nnz]`` multiplier on ``g.vals`` (0/1
+    edge-dropout mask, or learned edge gates) indexed in the original row-sorted
+    edge order.  Static shapes throughout.
     """
+    from sslrec_tpu.ops.pallas_spmm import PallasGraph, pallas_spmm
+
+    if isinstance(g, PallasGraph):
+        return pallas_spmm(g, x, edge_weight)
     vals = g.vals if edge_weight is None else g.vals * edge_weight
     contrib = x[g.cols] * vals[:, None]
     return jax.ops.segment_sum(
@@ -33,11 +40,15 @@ def spmm(g: CooGraph, x: jnp.ndarray, edge_weight: jnp.ndarray | None = None) ->
     )
 
 
-def spmm_t(g: CooGraph, x: jnp.ndarray, edge_weight: jnp.ndarray | None = None) -> jnp.ndarray:
+def spmm_t(g, x: jnp.ndarray, edge_weight: jnp.ndarray | None = None) -> jnp.ndarray:
     """``A.T @ x`` without materialising the transposed graph.
 
     Row indices of the transpose are ``g.cols`` (unsorted → sorted=False).
     """
+    from sslrec_tpu.ops.pallas_spmm import PallasGraph, _blocked_matvec, _contrib
+
+    if isinstance(g, PallasGraph):
+        return _blocked_matvec(g.bwd, _contrib(g.bwd, x, edge_weight), False)
     vals = g.vals if edge_weight is None else g.vals * edge_weight
     contrib = x[g.rows] * vals[:, None]
     return jax.ops.segment_sum(

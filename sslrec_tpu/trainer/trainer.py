@@ -61,6 +61,10 @@ class Trainer:
         self.data = data
         self.logger = logger or Logger(cfg)
         self.optimizer = build_optimizer(cfg)
+        clip = getattr(model, "grad_clip", None)
+        if clip:  # e.g. DSL's grad-norm clip (reference trainer.py:480)
+            self.optimizer = optax.chain(
+                optax.clip_by_global_norm(float(clip)), self.optimizer)
         self.batch_size = int(cfg.train.batch_size)
         self.n_batches = -(-data.n_train // self.batch_size)
         self._epoch_fn = None
@@ -71,24 +75,35 @@ class Trainer:
         n_train, bsz, n_batches = data.n_train, self.batch_size, self.n_batches
         pad = n_batches * bsz - n_train
         has_aux_state = hasattr(model, "epoch_state")
+        # scenario handlers may provide extra per-interaction arrays (sequences,
+        # behaviour ids, ...) beyond the default (user, pos) pair
+        arrays = dict(data.extras.get("train_arrays")
+                      or {"user": data.train_users, "pos": data.train_items})
+        needs_neg = "neg" in getattr(model, "batch_fields", ("user", "pos", "neg"))
+        neg_low = int(data.extras.get("neg_low", 0))
 
         def epoch_fn(params, opt_state, key, aux_state):
-            pkey, nkey, skey = jax.random.split(key, 3)
+            pkey, nkey, xkey, skey = jax.random.split(key, 4)
             perm = jax.random.permutation(pkey, n_train).astype(jnp.int32)
             if pad:
                 perm = jnp.concatenate([perm, perm[:pad]])
             idx = perm.reshape(n_batches, bsz)
-            negs = sample_negatives(nkey, data.train_users, data.train_edge_set,
-                                    data.item_num)
+            sampled = {}
+            if needs_neg:
+                sampled["neg"] = sample_negatives(
+                    nkey, arrays["user"], data.train_edge_set,
+                    data.item_num, low=neg_low)
+            if hasattr(model, "extra_negatives"):
+                # model-specific auxiliary negative streams (e.g. DSL's social
+                # user negatives) — full-epoch arrays, sliced per batch below
+                sampled.update(model.extra_negatives(xkey, arrays))
 
             def step(carry, inp):
                 params, opt_state = carry
                 bidx, bkey = inp
-                batch = {
-                    "user": data.train_users[bidx],
-                    "pos": data.train_items[bidx],
-                    "neg": negs[bidx],
-                }
+                batch = {k: v[bidx] for k, v in arrays.items()}
+                for k, v in sampled.items():
+                    batch[k] = v[bidx]
                 if has_aux_state:
                     batch["aux"] = aux_state
                 (loss, aux), grads = jax.value_and_grad(model.loss, has_aux=True)(

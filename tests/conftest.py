@@ -3,7 +3,10 @@ without TPU hardware (SURVEY §4 item 4).  Must run before jax is imported."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the environment pins JAX_PLATFORMS to the remote TPU platform,
+# which would route every tiny test through the device tunnel (slow) and change
+# matmul precision. Tests always run on the virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -11,6 +14,13 @@ if "--xla_force_host_platform_device_count" not in flags:
 from sslrec_tpu.utils.jax_setup import setup_jax  # noqa: E402
 
 setup_jax()
+
+# The environment's sitecustomize registers a remote-TPU PJRT plugin and calls
+# jax.config.update("jax_platforms", "axon,cpu"), overriding the env var — so
+# re-assert CPU at the config level before any backend initialises.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

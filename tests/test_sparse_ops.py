@@ -41,6 +41,13 @@ def test_spmm_matches_dense(tiny_ui):
     np.testing.assert_allclose(spmm(g, x), spmm_dense_ref(g, x), rtol=1e-5, atol=1e-5)
 
 
+def test_transpose_is_row_sorted(tiny_ui):
+    g = sparse_ops.from_scipy(tiny_ui)
+    gt = g.transpose()
+    assert (np.diff(np.asarray(gt.rows)) >= 0).all()
+    assert (sparse_ops.to_scipy(gt) != tiny_ui.T).nnz == 0
+
+
 def test_spmm_t_matches_transpose(tiny_ui):
     g = sparse_ops.from_scipy(tiny_ui)
     x = jax.random.normal(jax.random.PRNGKey(1), (g.n_rows, 8))

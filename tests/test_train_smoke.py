@@ -27,7 +27,7 @@ class _SilentLogger:
 def _make_bundle(seed=0):
     # structured data: users prefer items with matching parity so there is signal
     rng = np.random.default_rng(seed)
-    n_u, n_i = 80, 60
+    n_u, n_i = 80, 40
     rows, cols = [], []
     for u in range(n_u):
         liked = [i for i in range(n_i) if i % 2 == u % 2]
@@ -41,17 +41,21 @@ def _make_bundle(seed=0):
     tst = sp.lil_matrix(full.shape)
     for u in range(n_u):
         items = full[u].indices
-        tst[u, items[-3:]] = 1
-        trn[u, items[-3:]] = 0
+        # hold out 3 random items (holding out e.g. the 3 largest ids would make
+        # the test items systematically cold — held out by every user)
+        held = rng.choice(items, size=3, replace=False)
+        tst[u, held] = 1
+        trn[u, held] = 0
     return bundle_from_matrices(trn.tocoo(), None, tst.tocoo())
 
 
 def test_lightgcn_learns():
     data = _make_bundle()
     cfg = load_config("lightgcn", overrides={
-        "train.epoch": 30, "train.batch_size": 256, "train.test_step": 10,
+        "train.epoch": 60, "train.batch_size": 256, "train.test_step": 20,
         "train.patience": 0, "test.batch_size": 32, "test.k": [5, 10],
-        "model.embedding_size": 16,
+        "model.embedding_size": 16, "model.keep_rate": 1.0,
+        "optimizer.lr": 5.0e-3,
     })
     model = build_model(cfg, data)
     # random-params baseline
