@@ -53,7 +53,7 @@ def embed_perturb(key: jax.Array, embeds: jnp.ndarray, eps: float) -> jnp.ndarra
     Noise = row-L2-normalised U[0,1) noise, aligned to sign(embeds), scaled eps.
     """
     noise = jax.random.uniform(key, embeds.shape)
-    noise = noise / jnp.maximum(jnp.linalg.norm(noise, axis=-1, keepdims=True), 1e-12)
+    noise = noise / jnp.sqrt(jnp.sum(jnp.square(noise), axis=-1, keepdims=True) + 1e-12)
     return embeds + noise * jnp.sign(embeds) * eps
 
 
@@ -65,8 +65,8 @@ def adaptive_mask(g: CooGraph, head_embeds: jnp.ndarray,
     Returns the new edge values ``[nnz]`` for the same static edge list (the
     reference builds a new torch_sparse tensor; we reuse ``g``'s indices).
     """
-    hn = head_embeds / jnp.maximum(jnp.linalg.norm(head_embeds, axis=-1, keepdims=True), 1e-12)
-    tn = tail_embeds / jnp.maximum(jnp.linalg.norm(tail_embeds, axis=-1, keepdims=True), 1e-12)
+    hn = head_embeds / jnp.sqrt(jnp.sum(jnp.square(head_embeds), -1, keepdims=True) + 1e-12)
+    tn = tail_embeds / jnp.sqrt(jnp.sum(jnp.square(tail_embeds), -1, keepdims=True) + 1e-12)
     alpha = (jnp.sum(hn[g.rows] * tn[g.cols], axis=-1) + 1.0) / 2.0
     deg = segment_sum(alpha, g.rows, g.n_rows)
     d_inv = jnp.where(deg > 0, 1.0 / deg, 0.0)

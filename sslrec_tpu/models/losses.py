@@ -36,6 +36,12 @@ def _l2norm_eps(x, eps=1e-8):
     return x / jnp.sqrt(eps + jnp.sum(jnp.square(x), axis=-1, keepdims=True))
 
 
+def _l2norm_safe(x, eps=1e-12):
+    """Row L2-normalise with a finite gradient at zero rows (torch F.normalize
+    clamps the denominator; jnp.linalg.norm's gradient NaNs at exactly 0)."""
+    return x / jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True) + eps)
+
+
 def infonce_loss(embeds1, embeds2, all_embeds2, temp=1.0):
     """InfoNCE, sum-reduced, both operands L2-normalised (``loss_utils.py:30-39``)."""
     n1 = _l2norm_eps(embeds1)
@@ -54,8 +60,7 @@ def infonce_loss_spec_nodes(embeds1, embeds2, nodes, temp):
     """
 
     def _norm(x):
-        x = x + 1e-8
-        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        return _l2norm_safe(x + 1e-8)
 
     e1 = _norm(embeds1)
     e2 = _norm(embeds2)
@@ -68,23 +73,20 @@ def infonce_loss_spec_nodes(embeds1, embeds2, nodes, temp):
 
 def sce_loss(x, y, alpha=3.0):
     """Scaled cosine error (GraphMAE; ``loss_utils.py:54-61``)."""
-    xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
-    yn = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-12)
+    xn, yn = _l2norm_safe(x), _l2norm_safe(y)
     return jnp.mean(jnp.power(1.0 - jnp.sum(xn * yn, axis=-1), alpha))
 
 
 def sig_loss(x, y):
     """Sigmoid loss (GraphMAE; ``loss_utils.py:64-71``)."""
-    xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
-    yn = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-12)
+    xn, yn = _l2norm_safe(x), _l2norm_safe(y)
     return jnp.mean(jax.nn.sigmoid(-jnp.sum(xn * yn, axis=-1)))
 
 
 def alignment_loss(x, y, alpha=2.0):
     """DirectAU alignment (``loss_utils.py:75-78``)."""
-    xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
-    yn = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-12)
-    return jnp.mean(jnp.power(jnp.linalg.norm(xn - yn, axis=-1), alpha))
+    xn, yn = _l2norm_safe(x), _l2norm_safe(y)
+    return jnp.mean(jnp.sum(jnp.square(xn - yn), axis=-1) ** (alpha / 2.0))
 
 
 def uniformity_loss(x):
@@ -95,7 +97,7 @@ def uniformity_loss(x):
     mean — computed here from the [B, B] Gram matrix (MXU matmul, O(B²) memory
     instead of O(B²·d)).
     """
-    xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    xn = _l2norm_safe(x)
     gram = xn @ xn.T
     sq = jnp.maximum(2.0 - 2.0 * gram, 0.0)  # ||a-b||² for unit vectors
     n = x.shape[0]

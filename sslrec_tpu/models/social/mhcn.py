@@ -20,7 +20,9 @@ from sslrec_tpu.utils.initializers import linear_params, xavier_uniform
 
 
 def _l2norm_rows(x):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    # sqrt(sum+eps) keeps the gradient finite at exactly-zero rows (which occur
+    # for fully-masked / isolated nodes); jnp.linalg.norm's grad NaNs at 0.
+    return x / jnp.sqrt(jnp.sum(jnp.square(x), axis=1, keepdims=True) + 1e-12)
 
 
 class MHCN(RecModel):

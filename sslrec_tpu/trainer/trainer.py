@@ -68,6 +68,7 @@ class Trainer:
         self.batch_size = int(cfg.train.batch_size)
         self.n_batches = -(-data.n_train // self.batch_size)
         self._epoch_fn = None
+        self._kg_epoch_fn = None
 
     # ------------------------------------------------------------------
     def _build_epoch_fn(self) -> Callable:
@@ -126,7 +127,54 @@ class Trainer:
         aux_state = None
         if hasattr(self.model, "epoch_state"):
             aux_state = self.model.epoch_state(params, key, epoch)
-        return self._epoch_fn(params, opt_state, key, aux_state)
+        params, opt_state, mean_aux = self._epoch_fn(params, opt_state, key, aux_state)
+        if getattr(self.model, "train_trans", False) and hasattr(self.model, "kg_loss"):
+            params, kg_loss = self._kg_trans_epoch(params, key)
+            mean_aux = dict(mean_aux, kg_loss=kg_loss)
+        return params, opt_state, mean_aux
+
+    # -- auxiliary TransE sub-loop (KGCL/KGRec style, trainer.py:536-552) ----
+    def _kg_trans_epoch(self, params, key):
+        model, cfg = self.model, self.cfg
+        if self._kg_epoch_fn is None:
+            import numpy as np
+            from sslrec_tpu.ops import sparse as sparse_ops
+            import scipy.sparse as sp
+
+            trip = self.data.extras["kg_triplets_full"]
+            n_ent = self.data.extras["entity_num"]
+            heads = jnp.asarray(trip[:, 0].astype(np.int32))
+            rels = jnp.asarray(trip[:, 1].astype(np.int32))
+            tails = jnp.asarray(trip[:, 2].astype(np.int32))
+            ht = sp.coo_matrix((np.ones(len(trip), np.float32),
+                                (trip[:, 0], trip[:, 2])), shape=(n_ent, n_ent))
+            kg_edge_set = sparse_ops.build_edge_set(ht)
+            kg_bsz = int(cfg.train.get("kg_batch_size", 4096))
+            n_batches = max(len(trip) // kg_bsz, 1)
+            kg_opt = build_optimizer(cfg)
+            self._kg_opt_state = kg_opt.init(params)
+
+            def kg_epoch(params, kg_opt_state, key):
+                def step(carry, k):
+                    params, kg_opt_state = carry
+                    ki, kn = jax.random.split(k)
+                    idx = jax.random.randint(ki, (kg_bsz,), 0, heads.shape[0])
+                    h, r, t = heads[idx], rels[idx], tails[idx]
+                    negs = sample_negatives(kn, h, kg_edge_set, n_ent)
+                    loss, grads = jax.value_and_grad(
+                        lambda p: model.kg_loss(p, (h, r, t, negs)))(params)
+                    updates, kg_opt_state = kg_opt.update(grads, kg_opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, kg_opt_state), loss
+
+                keys = jax.random.split(key, n_batches)
+                (params, kg_opt_state), ls = lax.scan(step, (params, kg_opt_state), keys)
+                return params, kg_opt_state, jnp.mean(ls)
+
+            self._kg_epoch_fn = jax.jit(kg_epoch, donate_argnums=(0, 1))
+        params, self._kg_opt_state, kg_loss = self._kg_epoch_fn(
+            params, self._kg_opt_state, key)
+        return params, kg_loss
 
     # ------------------------------------------------------------------
     def train(self, params=None):
