@@ -1,0 +1,182 @@
+"""KGIN — intent-disentangled relational path aggregation over the KG.
+
+Parity with ``models/kg/kgin.py:14-334``: per-hop entity aggregation is the
+segment-*mean* of ``entity[tail] * rel_weight[type-1]`` over heads; user
+aggregation is the row-normalised interact matrix times entity embeddings,
+modulated by user→factor attention against ``softmax(disen_att) @ weight``;
+independence regulariser over factor weights (distance-correlation / cosine /
+mutual-information per ``_cul_cor`` ``:105-158``); BPR as mean −logσ with
+½L2/B regulariser.  Node dropout = static-shape edge masks (masked segment
+mean) + value dropout on the interact matrix; evaluation runs deterministic
+(the reference leaves torch dropout active at eval — a quirk, not replicated).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sslrec_tpu.models.base import RecModel
+from sslrec_tpu.ops.segment import segment_sum
+from sslrec_tpu.ops.sparse import normalize_adj_left
+from sslrec_tpu.utils.initializers import xavier_uniform
+
+import scipy.sparse as sp
+
+
+class KGIN(RecModel):
+    def __init__(self, cfg, data):
+        super().__init__(cfg, data)
+        m = cfg.model
+        self.n_relations = data.extras["relation_num"]
+        self.n_entities = data.extras["entity_num"]
+        self.n_nodes = data.extras["node_num"]
+        self.decay = float(m.decay_weight)
+        self.context_hops = int(m.layer_num)
+        self.node_dropout = bool(m.node_dropout)
+        self.node_dropout_rate = float(m.node_dropout_rate)
+        self.mess_dropout = bool(m.mess_dropout)
+        self.mess_dropout_rate = float(m.mess_dropout_rate)
+        self.n_factors = int(m.n_factors)
+        self.ind = str(m.ind)
+        self.sim_decay = float(m.sim_regularity)
+        self.temperature = 0.2
+
+        trip = data.extras["kg_triplets_full"]
+        self.kg_heads = jnp.asarray(trip[:, 0].astype(np.int32))
+        self.kg_rels = jnp.asarray(trip[:, 1].astype(np.int32))
+        self.kg_tails = jnp.asarray(trip[:, 2].astype(np.int32))
+
+        # D^-1-normalised user→entity interact matrix (kgin.py:238-253): the
+        # row-normalisation happens in the [n_nodes] space, then the block is cut.
+        trn = data.extras["train_mat_scipy"].tocoo()
+        rows = trn.row
+        cols = trn.col + self.user_num
+        adj = sp.coo_matrix((np.ones(trn.nnz, np.float32), (rows, cols)),
+                            shape=(self.n_nodes, self.n_nodes))
+        norm = normalize_adj_left(adj, eps=0.0).tocsr()[
+            : self.user_num, self.user_num:].tocoo()
+        order = np.lexsort((norm.col, norm.row))
+        self.im_rows = jnp.asarray(norm.row[order].astype(np.int32))
+        self.im_cols = jnp.asarray(norm.col[order].astype(np.int32))
+        self.im_vals = jnp.asarray(norm.data[order].astype(np.float32))
+
+    def init_params(self, key):
+        ks = jax.random.split(key, 4)
+        d = self.embedding_size
+        return {
+            "all_embed": xavier_uniform(ks[0], (self.n_nodes, d)),
+            "latent_emb": xavier_uniform(ks[1], (self.n_factors, d)),
+            "weight": xavier_uniform(ks[2], (self.n_relations - 1, d)),
+            "disen_weight_att": xavier_uniform(ks[3], (self.n_factors,
+                                                       self.n_relations - 1)),
+        }
+
+    # -- aggregation hop ----------------------------------------------------
+    def _hop(self, params, entity_emb, user_emb, kg_mask, im_vals):
+        h, t, r = self.kg_heads, self.kg_tails, self.kg_rels
+        rel_emb = params["weight"][r - 1]
+        contrib = entity_emb[t] * rel_emb
+        if kg_mask is not None:
+            contrib = contrib * kg_mask[:, None]
+            cnt = segment_sum(kg_mask, h, self.n_entities)
+        else:
+            cnt = segment_sum(jnp.ones_like(h, jnp.float32), h, self.n_entities)
+        entity_agg = segment_sum(contrib, h, self.n_entities) \
+            / jnp.maximum(cnt, 1.0)[:, None]
+
+        score = jax.nn.softmax(user_emb @ params["latent_emb"].T, axis=1)  # [U, F]
+        user_agg = segment_sum(entity_emb[self.im_cols] * im_vals[:, None],
+                               self.im_rows, self.user_num, sorted_ids=True)
+        disen_w = jax.nn.softmax(params["disen_weight_att"], axis=-1) \
+            @ params["weight"]                                 # [F, d]
+        mod = score @ disen_w                                  # [U, d]
+        user_agg = user_agg * mod + user_agg
+        return entity_agg, user_agg
+
+    def _gcn(self, params, key, training):
+        user_emb = params["all_embed"][: self.user_num]
+        entity_emb = params["all_embed"][self.user_num:]
+        kg_mask = None
+        im_vals = self.im_vals
+        if training and self.node_dropout:
+            key, k1, k2 = jax.random.split(key, 3)
+            kg_mask = jax.random.bernoulli(
+                k1, self.node_dropout_rate, self.kg_heads.shape).astype(jnp.float32)
+            keep = jax.random.bernoulli(
+                k2, 1 - self.node_dropout_rate, self.im_vals.shape)
+            im_vals = jnp.where(keep, self.im_vals / (1 - self.node_dropout_rate), 0.0)
+        ent_res, user_res = entity_emb, user_emb
+        for _ in range(self.context_hops):
+            entity_emb, user_emb = self._hop(params, entity_emb, user_emb,
+                                             kg_mask, im_vals)
+            if training and self.mess_dropout:
+                key, kd1, kd2 = jax.random.split(key, 3)
+                keep_e = jax.random.bernoulli(kd1, 1 - self.mess_dropout_rate,
+                                              entity_emb.shape)
+                entity_emb = jnp.where(keep_e,
+                                       entity_emb / (1 - self.mess_dropout_rate), 0.0)
+                keep_u = jax.random.bernoulli(kd2, 1 - self.mess_dropout_rate,
+                                              user_emb.shape)
+                user_emb = jnp.where(keep_u,
+                                     user_emb / (1 - self.mess_dropout_rate), 0.0)
+            entity_emb = entity_emb / jnp.sqrt(
+                jnp.sum(jnp.square(entity_emb), -1, keepdims=True) + 1e-12)
+            user_emb = user_emb / jnp.sqrt(
+                jnp.sum(jnp.square(user_emb), -1, keepdims=True) + 1e-12)
+            ent_res = ent_res + entity_emb
+            user_res = user_res + user_emb
+        return ent_res, user_res
+
+    # -- independence regulariser (kgin.py:105-158) --------------------------
+    def _cor(self, params):
+        att = params["disen_weight_att"]
+        if self.ind == "mi":
+            disen_t = att.T
+            nt = disen_t / jnp.sqrt(jnp.sum(disen_t**2, 1, keepdims=True) + 1e-12)
+            pos = jnp.exp(jnp.sum(nt * nt, 1) / self.temperature)
+            ttl = jnp.exp(jnp.sum(disen_t @ att, 1) / self.temperature)
+            return -jnp.sum(jnp.log(pos / ttl))
+
+        def distance_cor(t1, t2):
+            c = t1.shape[0]
+            t1 = t1[:, None]
+            t2 = t2[:, None]
+            a_ = t1 @ t1.T * 2
+            b_ = t2 @ t2.T * 2
+            a = jnp.sqrt(jnp.maximum(t1**2 - a_ + (t1**2).T, 0.0) + 1e-8)
+            b = jnp.sqrt(jnp.maximum(t2**2 - b_ + (t2**2).T, 0.0) + 1e-8)
+            A = a - a.mean(0, keepdims=True) - a.mean(1, keepdims=True) + a.mean()
+            B = b - b.mean(0, keepdims=True) - b.mean(1, keepdims=True) + b.mean()
+            dab = jnp.sqrt(jnp.maximum(jnp.sum(A * B) / c**2, 0.0) + 1e-8)
+            daa = jnp.sqrt(jnp.maximum(jnp.sum(A * A) / c**2, 0.0) + 1e-8)
+            dbb = jnp.sqrt(jnp.maximum(jnp.sum(B * B) / c**2, 0.0) + 1e-8)
+            return dab / jnp.sqrt(daa * dbb + 1e-8)
+
+        def cosine(t1, t2):
+            n1 = t1 / jnp.sqrt(jnp.sum(t1**2) + 1e-12)
+            n2 = t2 / jnp.sqrt(jnp.sum(t2**2) + 1e-12)
+            return jnp.sum(n1 * n2) ** 2
+
+        fn = distance_cor if self.ind == "distance" else cosine
+        cor = 0.0
+        for i in range(self.n_factors):
+            for j in range(i + 1, self.n_factors):
+                cor = cor + fn(att[i], att[j])
+        return cor
+
+    def loss(self, params, batch, key):
+        user, pos, neg = batch["user"], batch["pos"], batch["neg"]
+        ent, usr = self._gcn(params, key, training=True)
+        u_e, p_e, n_e = usr[user], ent[pos], ent[neg]
+        mf = -jnp.mean(jax.nn.log_sigmoid(jnp.sum(u_e * p_e, 1)
+                                          - jnp.sum(u_e * n_e, 1)))
+        reg = self.decay * (jnp.sum(u_e**2) + jnp.sum(p_e**2)
+                            + jnp.sum(n_e**2)) / 2.0 / u_e.shape[0]
+        cor = self.sim_decay * self._cor(params)
+        return mf + reg + cor, {"rec_loss": mf, "reg_loss": reg, "cor": cor}
+
+    def generate(self, params):
+        ent, usr = self._gcn(params, jax.random.PRNGKey(0), training=False)
+        return usr, ent[: self.item_num]

@@ -92,9 +92,10 @@ def test_maskable_bi_adj_matches_scipy():
     assert float(jnp.sum(vals2 == 0.0)) >= 2  # both directions dropped
 
 
-def test_kgcl_trains():
+@pytest.mark.parametrize("name", ["kgcl", "kgin"])
+def test_kg_model_trains(name):
     train_cf, test_cf, trip, n_ent, n_rel = _synthetic_kg()
-    cfg = load_config("kgcl", overrides={
+    cfg = load_config(name, overrides={
         "train.epoch": 2, "train.batch_size": 32, "train.kg_batch_size": 32,
         "test.batch_size": 8, "test.k": [3, 5], "model.embedding_size": 8,
         "model.triplet_num": 5,

@@ -1,0 +1,67 @@
+"""Multi-behavior family: handler normalisation + model training smoke."""
+
+import numpy as np
+import scipy.sparse as sp
+import jax
+import pytest
+
+from sslrec_tpu.config import load_config
+from sslrec_tpu.data import multi_behavior as mb_data
+from sslrec_tpu.models.registry import build_model
+from sslrec_tpu.trainer.trainer import Trainer
+from sslrec_tpu.trainer.metrics import Evaluator
+from tests.conftest import random_ui_matrix
+
+
+class _Silent:
+    def log(self, *a, **k):
+        pass
+
+    log_loss = log
+    log_eval = log
+
+
+def _mb_setup(seed=0):
+    behaviors = ["view", "cart", "buy"]
+    mats = [random_ui_matrix(40, 25, density=d, seed=seed + i).tocsr()
+            for i, d in enumerate([0.2, 0.1, 0.08])]
+    # buy implies view (nesting like real data)
+    mats[0] = ((mats[0] + mats[2]) != 0).astype(np.float32).tocsr()
+    tst = random_ui_matrix(40, 25, density=0.04, seed=seed + 9)
+    return behaviors, mats, tst
+
+
+def test_normalize_rect_values():
+    _, mats, _ = _mb_setup()
+    norm = mb_data.normalize_rect(mats[0])
+    coo = mats[0].tocoo()
+    r = np.asarray(mats[0].sum(1)).reshape(-1)
+    c = np.asarray(mats[0].sum(0)).reshape(-1)
+    e = 0
+    expect = coo.data[e] * (r[coo.row[e]] + 1e-8) ** -0.5 * (c[coo.col[e]] + 1e-8) ** -0.5
+    got = norm.tocsr()[coo.row[e], coo.col[e]]
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["hmgcr", "smbrec", "mbgmn"])
+def test_mb_model_trains(name):
+    behaviors, mats, tst = _mb_setup()
+    overrides = {
+        "train.epoch": 2, "train.batch_size": 32, "test.batch_size": 8,
+        "test.k": [3, 5], "model.embedding_size": 8, "model.hidden_dim": 8,
+    }
+    cfg = load_config(name, overrides=overrides)
+    meta = mats if name == "hmgcr" else None  # reuse behavior mats as metapaths
+    data = mb_data.bundle_from_behaviors(cfg, behaviors, mats, tst, meta_mats=meta)
+    model = build_model(cfg, data)
+    trainer = Trainer(cfg, model, data, logger=_Silent())
+    params = model.init_params(jax.random.PRNGKey(0))
+    opt_state = trainer.optimizer.init(params)
+    key = jax.random.PRNGKey(1)
+    for epoch in range(2):
+        params, opt_state, aux = trainer.train_epoch(params, opt_state, key, epoch)
+    aux = jax.device_get(aux)
+    assert np.isfinite(aux["loss"]), (name, aux)
+    res = Evaluator(model, data.test, cfg)(params)
+    for m, vals in res.items():
+        assert np.isfinite(vals).all(), (name, m, vals)
