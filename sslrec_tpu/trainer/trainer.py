@@ -67,6 +67,8 @@ class Trainer:
                 optax.clip_by_global_norm(float(clip)), self.optimizer)
         self.batch_size = int(cfg.train.batch_size)
         self.n_batches = -(-data.n_train // self.batch_size)
+        # models with per-fix_steps view banks size them from the batch count
+        model._n_batches_hint = self.n_batches
         self._epoch_fn = None
         self._kg_epoch_fn = None
 
@@ -101,8 +103,9 @@ class Trainer:
 
             def step(carry, inp):
                 params, opt_state = carry
-                bidx, bkey = inp
+                bidx, bkey, step_idx = inp
                 batch = {k: v[bidx] for k, v in arrays.items()}
+                batch["step"] = step_idx
                 for k, v in sampled.items():
                     batch[k] = v[bidx]
                 if has_aux_state:
@@ -115,7 +118,9 @@ class Trainer:
                 return (params, opt_state), aux
 
             keys = jax.random.split(skey, n_batches)
-            (params, opt_state), aux = lax.scan(step, (params, opt_state), (idx, keys))
+            steps = jnp.arange(n_batches, dtype=jnp.int32)
+            (params, opt_state), aux = lax.scan(step, (params, opt_state),
+                                                (idx, keys, steps))
             mean_aux = jax.tree.map(jnp.mean, aux)
             return params, opt_state, mean_aux
 

@@ -92,14 +92,17 @@ def test_maskable_bi_adj_matches_scipy():
     assert float(jnp.sum(vals2 == 0.0)) >= 2  # both directions dropped
 
 
-@pytest.mark.parametrize("name", ["kgcl", "kgin"])
+@pytest.mark.parametrize("name", ["kgcl", "kgin", "kgrec"])
 def test_kg_model_trains(name):
     train_cf, test_cf, trip, n_ent, n_rel = _synthetic_kg()
-    cfg = load_config(name, overrides={
+    overrides = {
         "train.epoch": 2, "train.batch_size": 32, "train.kg_batch_size": 32,
         "test.batch_size": 8, "test.k": [3, 5], "model.embedding_size": 8,
         "model.triplet_num": 5,
-    })
+    }
+    if name == "kgrec":
+        overrides["model.mae_msize"] = 8
+    cfg = load_config(name, overrides=overrides)
     data = kg_data.bundle_from_kg(cfg, train_cf, test_cf, trip, n_ent, n_rel)
     model = build_model(cfg, data)
     trainer = Trainer(cfg, model, data, logger=_Silent())

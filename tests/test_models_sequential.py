@@ -43,9 +43,12 @@ SMALL = {
 }
 
 
-@pytest.mark.parametrize("name", ["bert4rec", "cl4srec", "duorec"])
+@pytest.mark.parametrize("name", ["bert4rec", "cl4srec", "duorec", "iclrec"])
 def test_sequential_model_trains(name):
-    cfg = load_config(name, overrides=SMALL)
+    overrides = dict(SMALL)
+    if name == "iclrec":
+        overrides["model.num_intent_clusters"] = 4
+    cfg = load_config(name, overrides=overrides)
     train, test = _synthetic_seqs()
     data = seq_data.bundle_from_seqs(cfg, train, test)
     model = build_model(cfg, data)
