@@ -92,7 +92,7 @@ def test_maskable_bi_adj_matches_scipy():
     assert float(jnp.sum(vals2 == 0.0)) >= 2  # both directions dropped
 
 
-@pytest.mark.parametrize("name", ["kgcl", "kgin", "kgrec"])
+@pytest.mark.parametrize("name", ["kgcl", "kgin", "kgrec", "diffkg"])
 def test_kg_model_trains(name):
     train_cf, test_cf, trip, n_ent, n_rel = _synthetic_kg()
     overrides = {
@@ -102,6 +102,8 @@ def test_kg_model_trains(name):
     }
     if name == "kgrec":
         overrides["model.mae_msize"] = 8
+    if name == "diffkg":
+        overrides.update({"model.dims_list": [16], "model.d_emb_size": 4})
     cfg = load_config(name, overrides=overrides)
     data = kg_data.bundle_from_kg(cfg, train_cf, test_cf, trip, n_ent, n_rel)
     model = build_model(cfg, data)
