@@ -110,6 +110,12 @@ class Trainer:
                     batch[k] = v[bidx]
                 if has_aux_state:
                     batch["aux"] = aux_state
+                if hasattr(model, "train_step"):
+                    # model-managed multi-optimizer step (e.g. AdaGCL's three
+                    # sequential updates + generator optimizers)
+                    params, opt_state, aux = model.train_step(params, opt_state,
+                                                              batch, bkey)
+                    return (params, opt_state), aux
                 (loss, aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
                     params, batch, bkey)
                 updates, opt_state = opt.update(grads, opt_state, params)
@@ -189,7 +195,10 @@ class Trainer:
         key, init_key = jax.random.split(key)
         if params is None:
             params = self.model.init_params(init_key)
-        opt_state = self.optimizer.init(params)
+        if hasattr(self.model, "init_opt_state"):
+            opt_state = self.model.init_opt_state(params)
+        else:
+            opt_state = self.optimizer.init(params)
 
         eval_split = self.data.valid if self.data.valid is not None else self.data.test
         evaluator = Evaluator(self.model, eval_split, cfg)

@@ -36,7 +36,7 @@ MODEL_OVERRIDES = {
 
 @pytest.mark.parametrize("name", [
     "lightgcn", "sgl", "simgcl", "directau", "ncl", "hccf", "lightgcl", "dccf",
-    "autocf",
+    "autocf", "adagcl",
 ])
 def test_model_trains(name, tiny_bundle):
     overrides = dict(SMALL)
@@ -45,7 +45,9 @@ def test_model_trains(name, tiny_bundle):
     model = build_model(cfg, tiny_bundle)
     trainer = Trainer(cfg, model, tiny_bundle, logger=_Silent())
     params = model.init_params(jax.random.PRNGKey(0))
-    opt_state = trainer.optimizer.init(params)
+    opt_state = (model.init_opt_state(params)
+                 if hasattr(model, "init_opt_state")
+                 else trainer.optimizer.init(params))
     key = jax.random.PRNGKey(1)
     for epoch in range(2):
         params, opt_state, aux = trainer.train_epoch(params, opt_state, key, epoch)
