@@ -75,11 +75,18 @@ def load(cfg) -> DataBundle:
         for mp in META_PATHS[name]:
             with open(os.path.join(d, f"train_mat_{mp}.pkl"), "rb") as f:
                 meta_mats.append((pickle.load(f) != 0).astype(np.float32))
-    return bundle_from_behaviors(cfg, behaviors, mats, tst, meta_mats=meta_mats)
+    meta_users = None
+    if cfg.model.name.lower() == "cml":
+        # shuffled meta user index (CML meta-round pool)
+        with open(os.path.join(d, "meta_multi_single_beh_user_index_shuffle"),
+                  "rb") as f:
+            meta_users = np.asarray(pickle.load(f), np.int32)
+    return bundle_from_behaviors(cfg, behaviors, mats, tst, meta_mats=meta_mats,
+                                 meta_users=meta_users)
 
 
 def bundle_from_behaviors(cfg, behaviors, mats, tst_mat,
-                          meta_mats=None) -> DataBundle:
+                          meta_mats=None, meta_users=None) -> DataBundle:
     target = cfg.model.get("target", "buy")
     t_idx = behaviors.index(target) if target in behaviors else len(behaviors) - 1
     trn = (mats[t_idx] != 0).astype(np.float32).tocoo()
@@ -94,6 +101,8 @@ def bundle_from_behaviors(cfg, behaviors, mats, tst_mat,
     }
     if meta_mats is not None:
         extras["meta_path_graphs"] = [behavior_graphs(m) for m in meta_mats]
+    if meta_users is not None:
+        extras["meta_users"] = jnp.asarray(meta_users.astype(np.int32))
     if cfg.model.name.lower() == "smbrec":
         extras["beh_degrees"] = jnp.asarray(np.stack(
             [np.asarray((m != 0).sum(axis=1)).reshape(-1) for m in mats]

@@ -43,20 +43,24 @@ def test_normalize_rect_values():
     np.testing.assert_allclose(got, expect, rtol=1e-6)
 
 
-@pytest.mark.parametrize("name", ["hmgcr", "smbrec", "mbgmn"])
+@pytest.mark.parametrize("name", ["hmgcr", "smbrec", "mbgmn", "cml"])
 def test_mb_model_trains(name):
     behaviors, mats, tst = _mb_setup()
     overrides = {
         "train.epoch": 2, "train.batch_size": 32, "test.batch_size": 8,
         "test.k": [3, 5], "model.embedding_size": 8, "model.hidden_dim": 8,
     }
+    if name == "cml":
+        overrides.update({"train.meta_batch": 8, "train.SSL_batch": 4})
     cfg = load_config(name, overrides=overrides)
     meta = mats if name == "hmgcr" else None  # reuse behavior mats as metapaths
     data = mb_data.bundle_from_behaviors(cfg, behaviors, mats, tst, meta_mats=meta)
     model = build_model(cfg, data)
     trainer = Trainer(cfg, model, data, logger=_Silent())
     params = model.init_params(jax.random.PRNGKey(0))
-    opt_state = trainer.optimizer.init(params)
+    opt_state = (model.init_opt_state(params)
+                 if hasattr(model, "init_opt_state")
+                 else trainer.optimizer.init(params))
     key = jax.random.PRNGKey(1)
     for epoch in range(2):
         params, opt_state, aux = trainer.train_epoch(params, opt_state, key, epoch)
