@@ -80,6 +80,145 @@ def build_joint_adjacency(trn_mat: sp.coo_matrix) -> sp.coo_matrix:
     return sp.coo_matrix((vals, (coo.row, coo.col)), coo.shape)
 
 
+def gen_metapaths(trn_mat, trust_mat, category_mat, rng=None):
+    """SMIN metapath graphs UU/UIU/UITIU/ITI/IUI
+    (``data_handler_social.py:139-213``): randomly-subsampled co-occurrence
+    closures with self-loops, binarised."""
+    rng = rng or np.random.default_rng(0)
+    trn = trn_mat.tocsr()
+    n_users, n_items = trn.shape
+    cat = sp.csr_matrix(category_mat)
+
+    uu = ((trust_mat.T + trust_mat) + sp.eye(n_users, format="csr")) != 0
+
+    def sampled_cooc(mat, rate):
+        """rows sharing a column with row i, subsampled at ``rate``."""
+        m = mat.tocsr()
+        out = sp.dok_matrix((m.shape[0], m.shape[0]))
+        cooc = (m @ m.T).tocsr()
+        for i in range(m.shape[0]):
+            ids = cooc[i].indices
+            if len(ids) == 0:
+                continue
+            pick = rng.choice(ids, size=max(int(ids.size * rate), 0),
+                              replace=False)
+            for j in pick:
+                out[i, j] = 1
+        out = out.tocsr()
+        return ((out + out.T + sp.eye(m.shape[0], format="csr")) != 0)
+
+    uiu = sampled_cooc(trn, 0.3)
+    iui = sampled_cooc(trn.T, 0.25)
+    iti = sampled_cooc(cat, 0.002 if cat.shape[0] > 500 else 0.3)
+    # UITIU: users co-occurring through item categories
+    ucat = (trn @ cat)  # user x category
+    uitiu = sampled_cooc(ucat, 0.0003 if n_users > 2000 else 0.2)
+    return {"UU": uu.tocsr(), "UIU": uiu, "UITIU": uitiu,
+            "ITI": iti, "IUI": iui}
+
+
+def gen_ui_subgraph(trn_mat, metapath, k_hop=2):
+    """1-hop union graph + k-hop closure (``_gen_subgraph`` ``:215-248``)."""
+    rng = np.random.default_rng(0)
+    n_users, n_items = trn_mat.shape
+    n = n_users + n_items
+    g = sp.dok_matrix((n, n))
+    coo = trn_mat.tocoo()
+    g[coo.row, n_users + coo.col] = 1
+    g[n_users + coo.col, coo.row] = 1
+    uu = metapath["UU"].tocoo()
+    g[uu.row, uu.col] = 1
+    iti = metapath["ITI"].tocoo()
+    if iti.nnz:
+        k = max(int(iti.nnz * 0.02), 1)
+        r = rng.choice(iti.row, size=k, replace=False)
+        c = rng.choice(iti.col, size=k, replace=False)
+        g[n_users + r, n_users + c] = 1
+    one_hop = g.tocsr()
+    sub = one_hop.copy().tolil()
+    if k_hop > 1:
+        reach = one_hop
+        for _ in range(k_hop - 1):
+            reach = (reach @ one_hop)
+            strong = reach > 10
+            sub[strong.nonzero()] = 1
+    return one_hop, (sub.tocsr() != 0)
+
+
+def connected_component_structs(mat, subnode):
+    """Connected components → (node→component, [n_comp, n] membership adj,
+    per-component sizes, large-component node mask)
+    (``_build_subgraph`` ``data_handler_social.py:75-96``)."""
+    from scipy.sparse.csgraph import connected_components
+
+    n = mat.shape[0]
+    n_comp, labels = connected_components(mat, directed=False)
+    adj = sp.coo_matrix((np.ones(n, np.float32),
+                         (labels, np.arange(n))), shape=(n_comp, n)).tocsr()
+    sizes = np.asarray(adj.sum(1)).reshape(-1)
+    node_mask = (sizes[labels] > subnode).astype(np.float32)
+    return labels, adj, sizes, node_mask
+
+
+def build_kcgn_structs(cfg, trn_rated, trn_time, trust_mat, category_mat):
+    """KCGN artifacts: the (rating × item)-expanded square adjacency with
+    bucketed edge times (``_create_multiitem_user_adj`` ``:263-280`` + time
+    processing ``:504-528``), uu/ii graphs and their component structures."""
+    n_users, n_items = trn_rated.shape
+    coo = trn_rated.tocoo()
+    ratings = np.unique(coo.data)
+    r_of = {v: i for i, v in enumerate(ratings)}
+    r_idx = np.asarray([r_of[v] for v in coo.data])
+    rating_class = len(ratings)
+    tvals = np.asarray(sp.csr_matrix(trn_time)[coo.row, coo.col]).reshape(-1)
+    time_step = 3600 * float(cfg.model.get("time_step", 360))
+    buckets = ((tvals - tvals.min()) / time_step).astype(np.int64) + 2
+
+    n = n_users + rating_class * n_items
+    src = np.concatenate([coo.row, n_users + coo.col * rating_class + r_idx])
+    dst = np.concatenate([n_users + coo.col * rating_class + r_idx, coo.row])
+    times = np.concatenate([buckets, buckets])
+    # self loops carry time id 1 (a zeroed row of the time table)
+    src = np.concatenate([src, np.arange(n)])
+    dst = np.concatenate([dst, np.arange(n)])
+    times = np.concatenate([times, np.ones(n, np.int64)])
+    order = np.lexsort((src, dst))  # sort by destination for segment-sum
+    max_time = int(times.max()) + 1
+
+    uu = ((trust_mat.T + trust_mat) + sp.eye(n_users, format="csr")) != 0
+    cat = sp.csr_matrix(category_mat)
+    ii = ((cat @ cat.T) != 0)
+
+    def dgi_graph(m):
+        deg = np.asarray(m.sum(1)).reshape(-1)
+        dinv = np.power(np.maximum(deg, 1.0), -0.5)
+        return maybe_pallas((sp.diags(dinv) @ (m * 1.0)).tocoo())
+
+    subnode = int(cfg.model.get("subnode", 10))
+    uu_lbl, uu_adj, _, uu_mask = connected_component_structs(uu, subnode)
+    ii_lbl, ii_adj, _, ii_mask = connected_component_structs(ii, subnode)
+    return {
+        "kcgn_src": jnp.asarray(src[order].astype(np.int32)),
+        "kcgn_dst": jnp.asarray(dst[order].astype(np.int32)),
+        "kcgn_time": jnp.asarray(times[order].astype(np.int32)),
+        "kcgn_n_nodes": n,
+        "rating_class": rating_class,
+        "max_time": max_time,
+        "uu_dgi_graph": dgi_graph(uu),
+        "ii_dgi_graph": dgi_graph(ii),
+        "uu_labels": jnp.asarray(uu_lbl.astype(np.int32)),
+        "ii_labels": jnp.asarray(ii_lbl.astype(np.int32)),
+        "uu_sub_adj": maybe_pallas(uu_adj.tocoo()),
+        "ii_sub_adj": maybe_pallas(ii_adj.tocoo()),
+        "uu_sub_norm": jnp.asarray(np.maximum(np.asarray(
+            uu_adj.sum(1)).reshape(-1), 1e-8).astype(np.float32)),
+        "ii_sub_norm": jnp.asarray(np.maximum(np.asarray(
+            ii_adj.sum(1)).reshape(-1), 1e-8).astype(np.float32)),
+        "uu_dgi_mask": jnp.asarray(uu_mask),
+        "ii_dgi_mask": jnp.asarray(ii_mask),
+    }
+
+
 def _dataset_dir(cfg) -> str:
     root = cfg.data.get("dir") or _DEFAULT_DATA_ROOT
     return os.path.join(root, "social", cfg.data.name)
@@ -95,10 +234,16 @@ def load(cfg) -> DataBundle:
     trn_mat = _load_pkl(os.path.join(d, "trn_mat.pkl")).tocoo()
     tst_mat = _load_pkl(os.path.join(d, "tst_mat.pkl")).tocoo()
     trust_mat = _load_pkl(os.path.join(d, "trust_mat.pkl")).tocsr()
-    return bundle_from_matrices(cfg, trn_mat, tst_mat, trust_mat)
+    cat_path = os.path.join(d, "category.pkl")
+    category_mat = _load_pkl(cat_path) if os.path.exists(cat_path) else None
+    tp = os.path.join(d, "trn_time.pkl")
+    trn_time = _load_pkl(tp) if os.path.exists(tp) else None
+    return bundle_from_matrices(cfg, trn_mat, tst_mat, trust_mat,
+                                category_mat=category_mat, trn_time=trn_time)
 
 
-def bundle_from_matrices(cfg, trn_mat, tst_mat, trust_mat) -> DataBundle:
+def bundle_from_matrices(cfg, trn_mat, tst_mat, trust_mat,
+                         category_mat=None, trn_time=None) -> DataBundle:
     n_users, n_items = trn_mat.shape
     trn_bin = (trn_mat != 0).astype(np.float32).tocoo()
     coo = trn_bin
@@ -119,6 +264,34 @@ def bundle_from_matrices(cfg, trn_mat, tst_mat, trust_mat) -> DataBundle:
         extras["uu_adj"] = maybe_pallas(sparse_ops.normalize_adj_sym(uu))
     train_users = coo.row[order].astype(np.int32)
     train_items = coo.col[order].astype(np.int32)
+    if model_name == "smin":
+        if category_mat is None:
+            # synthesise a 1-category matrix if absent
+            category_mat = sp.csr_matrix(np.ones((n_items, 1), np.float32))
+        metapath = gen_metapaths(trn_bin, trust_mat, category_mat)
+        extras["metapath_graphs"] = {
+            k: maybe_pallas(sparse_ops.normalize_adj_sym(v))
+            for k, v in metapath.items()}
+        one_hop, sub = gen_ui_subgraph(trn_bin, metapath,
+                                       int(cfg.model.get("k_hop_num", 2)))
+        # DGI encoder graph: destination-side D^-1/2 (model_utils.GraphConv)
+        deg = np.asarray(one_hop.sum(1)).reshape(-1)
+        dinv = np.power(np.maximum(deg, 1.0), -0.5)
+        extras["dgi_graph"] = maybe_pallas(
+            (sp.diags(dinv) @ one_hop).tocoo())
+        extras["dgi_edges"] = (jnp.asarray(one_hop.tocoo().row.astype(np.int32)),
+                               jnp.asarray(one_hop.tocoo().col.astype(np.int32)))
+        subn = np.asarray(sub.sum(1)).reshape(-1)
+        extras["subgraph_adj"] = maybe_pallas(sub.tocoo().astype(np.float32))
+        extras["subgraph_norm"] = jnp.asarray(
+            np.maximum(subn, 1e-8).astype(np.float32))
+    if model_name == "kcgn":
+        if category_mat is None:
+            category_mat = sp.csr_matrix(np.ones((n_items, 1), np.float32))
+        if trn_time is None:  # fall back to unit timestamps
+            trn_time = (trn_mat != 0).astype(np.float64)
+        extras.update(build_kcgn_structs(cfg, trn_mat.tocsr(), trn_time,
+                                         trust_mat, category_mat))
     if model_name == "dsl":
         # paired CF+social stream (``DSLTrnData``: length = max of the two,
         # each side wrapped modulo its own length)

@@ -56,14 +56,27 @@ def test_joint_adjacency_values():
     np.testing.assert_allclose(got, expect, rtol=1e-6)
 
 
-@pytest.mark.parametrize("name", ["mhcn", "dsl"])
+@pytest.mark.parametrize("name", ["mhcn", "dsl", "smin", "kcgn"])
 def test_social_model_trains(name):
     trn, tst, trust = _social_setup()
     cfg = load_config(name, overrides={
         "train.epoch": 2, "train.batch_size": 64, "test.batch_size": 16,
         "test.k": [3, 5], "model.embedding_size": 8,
     })
-    data = social_data.bundle_from_matrices(cfg, trn, tst, trust)
+    cat = sp.csr_matrix((np.eye(3)[np.arange(trn.shape[1]) % 3]).astype(np.float32))
+    trn_time = None
+    if name == "kcgn":
+        rng = np.random.default_rng(5)
+        coo = trn.tocoo()
+        # ratings 1..3 and unix-ish times on the same sparsity
+        trn = sp.coo_matrix((rng.integers(1, 4, coo.nnz).astype(np.float32),
+                             (coo.row, coo.col)), coo.shape)
+        trn_time = sp.coo_matrix(
+            (rng.integers(1, 10_000_000, coo.nnz).astype(np.float64),
+             (coo.row, coo.col)), coo.shape).tocsr()
+    data = social_data.bundle_from_matrices(cfg, trn, tst, trust,
+                                            category_mat=cat,
+                                            trn_time=trn_time)
     model = build_model(cfg, data)
     trainer = Trainer(cfg, model, data, logger=_Silent())
     params = model.init_params(jax.random.PRNGKey(0))
