@@ -109,7 +109,9 @@ def test_kg_model_trains(name):
     model = build_model(cfg, data)
     trainer = Trainer(cfg, model, data, logger=_Silent())
     params = model.init_params(jax.random.PRNGKey(0))
-    opt_state = trainer.optimizer.init(params)
+    opt_state = (model.init_opt_state(params)
+                 if hasattr(model, "init_opt_state")
+                 else trainer.optimizer.init(params))
     key = jax.random.PRNGKey(1)
     for epoch in range(2):
         params, opt_state, aux = trainer.train_epoch(params, opt_state, key, epoch)
@@ -131,7 +133,9 @@ def test_kgcl_trans_suboptimizer():
     model = build_model(cfg, data)
     trainer = Trainer(cfg, model, data, logger=_Silent())
     params = model.init_params(jax.random.PRNGKey(0))
-    opt_state = trainer.optimizer.init(params)
+    opt_state = (model.init_opt_state(params)
+                 if hasattr(model, "init_opt_state")
+                 else trainer.optimizer.init(params))
     params, opt_state, aux = trainer.train_epoch(params, opt_state,
                                                  jax.random.PRNGKey(1), 0)
     aux = jax.device_get(aux)

@@ -43,18 +43,25 @@ SMALL = {
 }
 
 
-@pytest.mark.parametrize("name", ["bert4rec", "cl4srec", "duorec", "iclrec"])
+@pytest.mark.parametrize("name", ["bert4rec", "cl4srec", "duorec", "iclrec",
+                                  "maerec"])
 def test_sequential_model_trains(name):
     overrides = dict(SMALL)
     if name == "iclrec":
         overrides["model.num_intent_clusters"] = 4
+    if name == "maerec":
+        overrides.update({"model.con_batch": 8, "model.num_reco_neg": 4,
+                          "model.num_mask_cand": 5, "model.mask_steps": 2,
+                          "model.num_gcn_layers": 2, "model.num_trm_layers": 1})
     cfg = load_config(name, overrides=overrides)
     train, test = _synthetic_seqs()
     data = seq_data.bundle_from_seqs(cfg, train, test)
     model = build_model(cfg, data)
     trainer = Trainer(cfg, model, data, logger=_Silent())
     params = model.init_params(jax.random.PRNGKey(0))
-    opt_state = trainer.optimizer.init(params)
+    opt_state = (model.init_opt_state(params)
+                 if hasattr(model, "init_opt_state")
+                 else trainer.optimizer.init(params))
     key = jax.random.PRNGKey(1)
     for epoch in range(2):
         params, opt_state, aux = trainer.train_epoch(params, opt_state, key, epoch)
