@@ -136,6 +136,11 @@ def bundle_from_seqs(cfg, train, test) -> DataBundle:
                 "seq_last": jnp.asarray(seq_last),
                 "pos": jnp.asarray(lasts),
             },
+            # unexpanded per-user training history (DCRec graph construction)
+            "user_seq_table": jnp.asarray(np.stack(
+                [_pad_left(s, max_len) for s in train[1]]).astype(np.int32))
+            if len(train[1]) else jnp.zeros((0, max_len), jnp.int32),
+            "user_seq_uids": jnp.asarray(np.asarray(train[0], np.int32)),
             "test_seqs": jnp.asarray(tst_seqs),
             "test_uids": jnp.asarray(np.asarray(tst_u, np.int32)),
             "score_cols": width,

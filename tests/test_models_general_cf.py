@@ -31,12 +31,13 @@ MODEL_OVERRIDES = {
     "lightgcl": {"model.svd_q": 4},
     "ncl": {"model.cluster_num": 4, "tune.enable": False},
     "autocf": {"model.seed_num": 5, "model.fix_steps": 2},
+    "gformer": {"model.anchor_set_num": 4, "model.fix_steps": 2},
 }
 
 
 @pytest.mark.parametrize("name", [
     "lightgcn", "sgl", "simgcl", "directau", "ncl", "hccf", "lightgcl", "dccf",
-    "autocf", "adagcl",
+    "autocf", "adagcl", "gformer",
 ])
 def test_model_trains(name, tiny_bundle):
     overrides = dict(SMALL)

@@ -44,11 +44,13 @@ SMALL = {
 
 
 @pytest.mark.parametrize("name", ["bert4rec", "cl4srec", "duorec", "iclrec",
-                                  "maerec"])
+                                  "maerec", "dcrec"])
 def test_sequential_model_trains(name):
     overrides = dict(SMALL)
     if name == "iclrec":
         overrides["model.num_intent_clusters"] = 4
+    if name == "dcrec":
+        overrides["model.sim_group_k"] = 2
     if name == "maerec":
         overrides.update({"model.con_batch": 8, "model.num_reco_neg": 4,
                           "model.num_mask_cand": 5, "model.mask_steps": 2,
