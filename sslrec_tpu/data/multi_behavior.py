@@ -75,6 +75,11 @@ def load(cfg) -> DataBundle:
         for mp in META_PATHS[name]:
             with open(os.path.join(d, f"train_mat_{mp}.pkl"), "rb") as f:
                 meta_mats.append((pickle.load(f) != 0).astype(np.float32))
+    kg_triplets = None
+    if cfg.model.name.lower() == "kmclr":
+        kg_path = os.path.join(d, "kg.txt")
+        if os.path.exists(kg_path):
+            kg_triplets = np.loadtxt(kg_path, dtype=np.int64, ndmin=2)
     meta_users = None
     if cfg.model.name.lower() == "cml":
         # shuffled meta user index (CML meta-round pool)
@@ -82,11 +87,11 @@ def load(cfg) -> DataBundle:
                   "rb") as f:
             meta_users = np.asarray(pickle.load(f), np.int32)
     return bundle_from_behaviors(cfg, behaviors, mats, tst, meta_mats=meta_mats,
-                                 meta_users=meta_users)
+                                 meta_users=meta_users, kg_triplets=kg_triplets)
 
 
-def bundle_from_behaviors(cfg, behaviors, mats, tst_mat,
-                          meta_mats=None, meta_users=None) -> DataBundle:
+def bundle_from_behaviors(cfg, behaviors, mats, tst_mat, meta_mats=None,
+                          meta_users=None, kg_triplets=None) -> DataBundle:
     target = cfg.model.get("target", "buy")
     t_idx = behaviors.index(target) if target in behaviors else len(behaviors) - 1
     trn = (mats[t_idx] != 0).astype(np.float32).tocoo()
@@ -103,6 +108,8 @@ def bundle_from_behaviors(cfg, behaviors, mats, tst_mat,
         extras["meta_path_graphs"] = [behavior_graphs(m) for m in meta_mats]
     if meta_users is not None:
         extras["meta_users"] = jnp.asarray(meta_users.astype(np.int32))
+    if kg_triplets is not None:
+        extras["kg_triplets"] = kg_triplets
     if cfg.model.name.lower() == "smbrec":
         extras["beh_degrees"] = jnp.asarray(np.stack(
             [np.asarray((m != 0).sum(axis=1)).reshape(-1) for m in mats]

@@ -43,7 +43,7 @@ def test_normalize_rect_values():
     np.testing.assert_allclose(got, expect, rtol=1e-6)
 
 
-@pytest.mark.parametrize("name", ["hmgcr", "smbrec", "mbgmn", "cml"])
+@pytest.mark.parametrize("name", ["hmgcr", "smbrec", "mbgmn", "cml", "kmclr"])
 def test_mb_model_trains(name):
     behaviors, mats, tst = _mb_setup()
     overrides = {
@@ -52,9 +52,19 @@ def test_mb_model_trains(name):
     }
     if name == "cml":
         overrides.update({"train.meta_batch": 8, "train.SSL_batch": 4})
+    kg_triplets = None
+    if name == "kmclr":
+        overrides.update({"model.latent_dim_rec": 8, "train.SSL_batch": 4,
+                          "model.bpr_batch_size": 16})
+        rng = np.random.default_rng(7)
+        kg_triplets = np.stack([rng.integers(0, 25, 60),
+                                rng.integers(0, 3, 60),
+                                rng.integers(0, 40, 60)], 1).astype(np.int64)
     cfg = load_config(name, overrides=overrides)
     meta = mats if name == "hmgcr" else None  # reuse behavior mats as metapaths
-    data = mb_data.bundle_from_behaviors(cfg, behaviors, mats, tst, meta_mats=meta)
+    data = mb_data.bundle_from_behaviors(cfg, behaviors, mats, tst,
+                                         meta_mats=meta,
+                                         kg_triplets=kg_triplets)
     model = build_model(cfg, data)
     trainer = Trainer(cfg, model, data, logger=_Silent())
     params = model.init_params(jax.random.PRNGKey(0))
