@@ -21,9 +21,10 @@ setup_jax()
 import jax
 
 # Reference implementation throughput measured on this host (examples/s):
-# torch-CPU faithful rerun of reference LightGCN (batch 4096, yelp, full-graph
-# forward per batch). See BASELINE.md for the measurement protocol.
-BASELINE_EXAMPLES_PER_S = 21000.0
+# torch-CPU faithful rerun of the reference LightGCN training step (batch 4096,
+# yelp, full-graph forward per batch, edge dropout, Adam) = 987 ms/step.
+# See BASELINE.md for the measurement protocol and the CPU-vs-TPU caveat.
+BASELINE_EXAMPLES_PER_S = 4149.0
 
 
 def main():

@@ -92,19 +92,16 @@ def gen_metapaths(trn_mat, trust_mat, category_mat, rng=None):
     uu = ((trust_mat.T + trust_mat) + sp.eye(n_users, format="csr")) != 0
 
     def sampled_cooc(mat, rate):
-        """rows sharing a column with row i, subsampled at ``rate``."""
+        """rows sharing a column with row i, subsampled at ``rate``
+        (native kernel; numpy fallback inside)."""
+        from sslrec_tpu import native
+
         m = mat.tocsr()
-        out = sp.dok_matrix((m.shape[0], m.shape[0]))
         cooc = (m @ m.T).tocsr()
-        for i in range(m.shape[0]):
-            ids = cooc[i].indices
-            if len(ids) == 0:
-                continue
-            pick = rng.choice(ids, size=max(int(ids.size * rate), 0),
-                              replace=False)
-            for j in pick:
-                out[i, j] = 1
-        out = out.tocsr()
+        r, c = native.sampled_cooc_edges(cooc.indptr, cooc.indices, rate,
+                                         seed=int(rng.integers(1 << 31)))
+        out = sp.coo_matrix((np.ones(len(r), np.float32), (r, c)),
+                            shape=(m.shape[0], m.shape[0])).tocsr()
         return ((out + out.T + sp.eye(m.shape[0], format="csr")) != 0)
 
     uiu = sampled_cooc(trn, 0.3)

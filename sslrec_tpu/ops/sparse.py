@@ -175,16 +175,11 @@ class PaddedRows(NamedTuple):
 
 
 def build_padded_rows(mat: sp.spmatrix, width: int | None = None) -> PaddedRows:
+    from sslrec_tpu import native
+
     csr = mat.tocsr()
-    n_rows = csr.shape[0]
     lengths = np.diff(csr.indptr).astype(np.int32)
     if width is None:
         width = max(int(lengths.max(initial=0)), 1)
-    cols = np.zeros((n_rows, width), dtype=np.int32)
-    mask = np.zeros((n_rows, width), dtype=bool)
-    for r in range(n_rows):
-        s, e = csr.indptr[r], csr.indptr[r + 1]
-        k = min(e - s, width)
-        cols[r, :k] = csr.indices[s:s + k]
-        mask[r, :k] = True
+    cols, mask, lengths = native.padded_rows(csr.indptr, csr.indices, width)
     return PaddedRows(jnp.asarray(cols), jnp.asarray(mask), jnp.asarray(lengths))
