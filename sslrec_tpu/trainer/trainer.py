@@ -210,6 +210,9 @@ class Trainer:
         test_step = int(cfg.train.get("test_step", 1))
         n_epochs = int(cfg.train.epoch)
 
+        from sslrec_tpu.utils.summary import make_writer
+        writer = make_writer(cfg)
+
         best_metric = -1.0
         best_params = params
         wait = 0
@@ -219,8 +222,11 @@ class Trainer:
             params, opt_state, losses = self.train_epoch(params, opt_state, ekey, epoch)
             if cfg.train.get("log_loss", True):
                 self.logger.log_loss(epoch, jax.device_get(losses))
+            writer.add_scalar("Loss/train",
+                              float(jax.device_get(losses)["loss"]), epoch)
             if epoch % test_step == 0:
                 results = evaluator(params)
+                writer.add_scalar("HR/test", float(results[metric0][0]), epoch)
                 self.logger.log_eval(results, cfg.test.k, epoch=epoch,
                                      name=f"(valid, {time.time()-now:.1f}s)")
                 now = time.time()
@@ -240,6 +246,7 @@ class Trainer:
             # nothing was better (reference keeps best snapshot too)
             pass
 
+        writer.close()
         final_valid = evaluator(best_params)
         self.logger.log_eval(final_valid, cfg.test.k, name="(best valid)")
         test_results = test_evaluator(best_params)
