@@ -34,9 +34,9 @@ def make_mesh(n_data: int | None = None, n_model: int | None = None,
         n_model = n // n_data
     elif n_data is None:
         n_data = n // n_model
-    if n_data * n_model != n:
-        raise ValueError(f"mesh {n_data}x{n_model} != {n} devices")
-    dev_array = np.asarray(devices).reshape(n_data, n_model)
+    if n_data * n_model > n:
+        raise ValueError(f"mesh {n_data}x{n_model} needs more than {n} devices")
+    dev_array = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 

@@ -1,0 +1,125 @@
+"""Multi-chip sharding tests on the 8-virtual-CPU-device mesh (SURVEY §4.4):
+sharded computations must match their single-device references bit-for-bit
+(within float tolerance)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from sslrec_tpu.parallel.mesh import make_mesh, pad_to_multiple
+from sslrec_tpu.parallel.dist_train import (
+    partition_graph, build_sharded_lightgcn_step, _owned_lookup)
+from sslrec_tpu.ops import sparse as sparse_ops
+from sslrec_tpu.ops.spmm import spmm
+from sslrec_tpu.ops.topk import sharded_topk
+from sslrec_tpu.models import losses
+from tests.conftest import random_ui_matrix
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_partition_graph_covers_edges(tiny_ui):
+    g = sparse_ops.from_scipy(sparse_ops.make_bi_adj(tiny_ui, *tiny_ui.shape))
+    sg = partition_graph(g, tiny_ui.shape[0], tiny_ui.shape[1], n_model=2)
+    live = np.asarray(sg.vals) != 0
+    assert live.sum() == g.nnz
+
+
+def test_owned_lookup_matches_gather(tiny_ui):
+    mesh = make_mesh(n_data=1, n_model=4)
+    n = 16
+    table = jax.random.normal(jax.random.PRNGKey(0), (n * 4, 8))
+    idx = jax.random.randint(jax.random.PRNGKey(1), (12,), 0, n * 4)
+
+    def f(tab, idx):
+        return _owned_lookup(tab, idx, n, "model")
+
+    out = shard_map(f, mesh=mesh, in_specs=(P("model", None), P()),
+                    out_specs=P(), check_rep=False)(table, idx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(table[idx]),
+                               rtol=1e-6)
+
+
+def test_sharded_step_matches_single_device(tiny_ui):
+    """One TP×DP sharded LightGCN step == the equivalent single-device step."""
+    n_users, n_items = tiny_ui.shape
+    n_model, n_data = 2, 4
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    g = sparse_ops.from_scipy(sparse_ops.make_bi_adj(tiny_ui, *tiny_ui.shape))
+    sg = partition_graph(g, n_users, n_items, n_model)
+    opt = optax.adam(1e-2)
+    shardings, train_step = build_sharded_lightgcn_step(
+        mesh, sg, layer_num=2, reg_weight=1e-6, keep_rate=1.0, optimizer=opt)
+
+    d = 8
+    u_pad = sg.u_loc * n_model
+    i_pad = sg.i_loc * n_model
+    ku, ki = jax.random.split(jax.random.PRNGKey(0))
+    u0 = jax.random.normal(ku, (u_pad, d)) * 0.1
+    i0 = jax.random.normal(ki, (i_pad, d)) * 0.1
+    # zero the padding rows so the reg term matches the unpadded reference
+    u0 = u0.at[n_users:].set(0.0)
+    i0 = i0.at[n_items:].set(0.0)
+    params = {"user_embeds": jax.device_put(u0, shardings["user_embeds"]),
+              "item_embeds": jax.device_put(i0, shardings["item_embeds"])}
+    opt_state = opt.init(params)
+    b = 8 * n_data
+    rng = np.random.default_rng(0)
+    batch = {
+        "user": jnp.asarray(rng.integers(0, n_users, b), jnp.int32),
+        "pos": jnp.asarray(rng.integers(0, n_items, b), jnp.int32),
+        "neg": jnp.asarray(rng.integers(0, n_items, b), jnp.int32),
+    }
+    new_params, _, loss = train_step(params, opt_state, batch,
+                                     jax.random.PRNGKey(3))
+
+    # single-device reference with identical math
+    def ref_loss(p):
+        emb = jnp.concatenate([p["user_embeds"][:n_users],
+                               p["item_embeds"][:n_items]], 0)
+        acc = emb
+        for _ in range(2):
+            emb = spmm(g, emb)
+            acc = acc + emb
+        u, i = acc[:n_users], acc[n_users:]
+        bpr = losses.bpr_loss(u[batch["user"]], i[batch["pos"]],
+                              i[batch["neg"]]) / b
+        reg = 1e-6 * (jnp.sum(p["user_embeds"]**2) + jnp.sum(p["item_embeds"]**2))
+        return bpr + reg
+
+    ref_params = {"user_embeds": u0, "item_embeds": i0}
+    ref_l, ref_g = jax.value_and_grad(ref_loss)(ref_params)
+    np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-5)
+
+    upd, _ = opt.update(ref_g, opt.init(ref_params), ref_params)
+    ref_new = optax.apply_updates(ref_params, upd)
+    np.testing.assert_allclose(
+        np.asarray(new_params["user_embeds"])[:n_users],
+        np.asarray(ref_new["user_embeds"])[:n_users], rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(new_params["item_embeds"])[:n_items],
+        np.asarray(ref_new["item_embeds"])[:n_items], rtol=2e-4, atol=2e-6)
+
+
+def test_sharded_topk_matches_global():
+    mesh = make_mesh(n_data=1, n_model=8)
+    b, n_items = 6, 64
+    scores = jax.random.normal(jax.random.PRNGKey(0), (b, n_items))
+    shard = n_items // 8
+
+    def f(s):
+        off = jax.lax.axis_index("model") * shard
+        return sharded_topk(s, off, 5, "model")
+
+    out = shard_map(f, mesh=mesh, in_specs=(P(None, "model"),),
+                    out_specs=P(), check_rep=False)(scores)
+    _, ref = jax.lax.top_k(scores, 5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
