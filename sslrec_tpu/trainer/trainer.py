@@ -200,6 +200,17 @@ class Trainer:
         else:
             opt_state = self.optimizer.init(params)
 
+        # mid-train resume (an upgrade over the reference, which only supports
+        # load-for-test): restores params + optimizer state + epoch counter
+        start_epoch = 0
+        resume = cfg.train.get("resume_path")
+        if resume:
+            state = ckpt.load(resume, {"params": params, "opt_state": opt_state,
+                                       "epoch": 0})
+            params, opt_state = state["params"], state["opt_state"]
+            start_epoch = int(state["epoch"]) + 1
+            self.logger.log(f"resumed from {resume} at epoch {start_epoch}")
+
         eval_split = self.data.valid if self.data.valid is not None else self.data.test
         evaluator = Evaluator(self.model, eval_split, cfg)
         test_evaluator = Evaluator(self.model, self.data.test, cfg)
@@ -214,16 +225,23 @@ class Trainer:
         writer = make_writer(cfg)
 
         best_metric = -1.0
-        best_params = params
+        # copy: the live `params` buffers are donated into the epoch program
+        best_params = jax.tree.map(jnp.copy, params)
         wait = 0
         now = time.time()
-        for epoch in range(n_epochs):
+        save_every = int(cfg.train.get("save_state_every", 0) or 0)
+        for epoch in range(start_epoch, n_epochs):
             key, ekey = jax.random.split(key)
             params, opt_state, losses = self.train_epoch(params, opt_state, ekey, epoch)
             if cfg.train.get("log_loss", True):
                 self.logger.log_loss(epoch, jax.device_get(losses))
             writer.add_scalar("Loss/train",
                               float(jax.device_get(losses)["loss"]), epoch)
+            if save_every and (epoch + 1) % save_every == 0:
+                path = self._ckpt_path() + ".state"
+                ckpt.save(path, {"params": params, "opt_state": opt_state,
+                                 "epoch": epoch})
+                self.logger.log(f"saved train state to {path}")
             if epoch % test_step == 0:
                 results = evaluator(params)
                 writer.add_scalar("HR/test", float(results[metric0][0]), epoch)

@@ -70,6 +70,35 @@ def test_lightgcn_learns():
     assert trainer.test_results["recall"][1] >= trainer.test_results["recall"][0]
 
 
+def test_resume_roundtrip(tmp_path):
+    """Mid-train save → resume restores params, optimizer state and epoch."""
+    from sslrec_tpu.utils import checkpoint as ckpt
+    import jax.numpy as jnp
+    data = _make_bundle(3)
+    cfg = load_config("lightgcn", overrides={
+        "train.epoch": 4, "train.batch_size": 128, "train.test_step": 10,
+        "test.batch_size": 16, "test.k": [3], "model.embedding_size": 8,
+    })
+    model = build_model(cfg, data)
+    trainer = Trainer(cfg, model, data, logger=_SilentLogger())
+    params = model.init_params(jax.random.PRNGKey(0))
+    opt_state = trainer.optimizer.init(params)
+    params, opt_state, _ = trainer.train_epoch(params, opt_state,
+                                               jax.random.PRNGKey(1), 0)
+    p = str(tmp_path / "state.ckpt")
+    ckpt.save(p, {"params": params, "opt_state": opt_state, "epoch": 0})
+    tmpl = {"params": model.init_params(jax.random.PRNGKey(9)),
+            "opt_state": trainer.optimizer.init(params), "epoch": 0}
+    state = ckpt.load(p, tmpl)
+    assert int(state["epoch"]) == 0
+    for a, b in zip(jax.tree.leaves(state["params"]), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed trainer continues without error
+    cfg2 = cfg.replace(train={"resume_path": p, "epoch": 2})
+    trainer2 = Trainer(cfg2, model, data, logger=_SilentLogger())
+    trainer2.train(model.init_params(jax.random.PRNGKey(0)))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from sslrec_tpu.utils import checkpoint as ckpt
     data = _make_bundle(1)
