@@ -53,7 +53,8 @@ def _eval_data(split_mat: sp.spmatrix, trn_mat: sp.spmatrix) -> EvalData:
 
 
 def bundle_from_matrices(trn_mat: sp.spmatrix, val_mat: sp.spmatrix | None,
-                         tst_mat: sp.spmatrix) -> DataBundle:
+                         tst_mat: sp.spmatrix,
+                         use_pallas: bool | None = None) -> DataBundle:
     """Assemble a DataBundle from scipy matrices (also used by tests/synthetic)."""
     n_users, n_items = trn_mat.shape
     coo = trn_mat.tocoo()
@@ -69,9 +70,11 @@ def bundle_from_matrices(trn_mat: sp.spmatrix, val_mat: sp.spmatrix | None,
         test=_eval_data(tst_mat, trn_mat),
         extras={
             # normalised bidirectional adjacency over [U+I] nodes — the input to
-            # every general-CF propagation (LightGCN & subclasses).  On TPU this
-            # is pre-blocked for the scatter-free Pallas spmm kernel.
-            "bi_adj": maybe_pallas(bi_adj),
+            # every general-CF propagation (LightGCN & subclasses).  When
+            # use_pallas, pre-blocked for the scatter-free Pallas spmm kernel
+            # (runtime win, but each call site costs a Mosaic compile — see
+            # maybe_pallas docstring for why it is opt-in).
+            "bi_adj": maybe_pallas(bi_adj, use_pallas),
             # raw train matrix kept host-side for models needing bespoke graph
             # algebra at init (LightGCL SVD, DCCF intent graphs, ...).
             "train_mat_scipy": trn_mat.tocoo(),
@@ -85,4 +88,7 @@ def load(cfg) -> DataBundle:
     tst = load_one_mat(os.path.join(d, "test_mat.pkl"))
     val_path = os.path.join(d, "valid_mat.pkl")
     val = load_one_mat(val_path) if os.path.exists(val_path) else None
-    return bundle_from_matrices(trn, val, tst)
+    # Models with few spmm instances per program (LightGCN: 2 fwd + 2 bwd)
+    # amortise the Mosaic compile quickly; multi-view models (SGL: 12) do not.
+    use_pallas = cfg.model.get("use_pallas", cfg.model.name in ("lightgcn",))
+    return bundle_from_matrices(trn, val, tst, use_pallas)

@@ -222,16 +222,33 @@ def build_pallas_graph(g: CooGraph, r: int = _R, m: int = _M) -> PallasGraph:
                                    np.asarray(vals), g.n_rows, g.n_cols, r, m)
 
 
-def maybe_pallas(mat, r: int = _R, m: int = _M):
-    """Given a host scipy sparse matrix (preferred) or a CooGraph, return a
-    PallasGraph on TPU backends (or when SSLREC_USE_PALLAS=1), else a CooGraph
-    for the XLA segment-sum path."""
+def maybe_pallas(mat, use: bool | None = None, r: int = _R, m: int = _M):
+    """Build the scatter-free Pallas layout for ``mat`` (scipy sparse or
+    CooGraph) when requested, else a CooGraph for the XLA segment-sum path.
+
+    ``use=None`` defers to ``SSLREC_USE_PALLAS`` ('1' force on / '0' force
+    off); the built-in default is OFF because each Pallas call site costs a
+    separate Mosaic compile, and with this environment's remote-compile tunnel
+    that scales pathologically for multi-propagation models (SGL's 12 kernel
+    instances: >30 min vs ~3 min pure-XLA).  LightGCN-class models opt in via
+    ``model.use_pallas`` — the kernel itself is ~2× faster at runtime.
+    """
+    return _maybe(mat, use, r, m)
+
+
+def _maybe(mat, use, r, m):
     import os
     import scipy.sparse as sp
     import jax
 
-    mode = os.environ.get("SSLREC_USE_PALLAS", "auto")
-    use = mode == "1" or (mode != "0" and jax.default_backend() == "tpu")
+    mode = os.environ.get("SSLREC_USE_PALLAS", "")
+    if mode == "0":
+        use = False
+    elif mode == "1":
+        use = True
+    elif use is None:
+        use = False
+    use = bool(use) and jax.default_backend() == "tpu"
     if sp.issparse(mat):
         if use:
             coo = mat.tocoo()

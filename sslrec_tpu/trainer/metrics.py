@@ -62,12 +62,18 @@ def _batch_metric_sums(topk: jnp.ndarray, gt_cols: jnp.ndarray, gt_mask: jnp.nda
 class Evaluator:
     """Compiled full-sort evaluator for one split."""
 
-    def __init__(self, model, eval_data: EvalData, cfg):
+    def __init__(self, model, eval_data: EvalData, cfg, mesh=None):
         self.model = model
         self.eval_data = eval_data
         self.metrics = tuple(cfg.test.metrics)
         self.ks = tuple(int(k) for k in cfg.test.k)
         batch_size = int(cfg.test.batch_size)
+        if mesh is not None:
+            # each scan step's user batch is split across the data axis; the
+            # [B, n_items] score matrix is then row-sharded and XLA all-reduces
+            # only the tiny [len(ks)] metric sums.
+            n_data = mesh.shape["data"]
+            batch_size = -(-batch_size // n_data) * n_data
 
         users = np.asarray(eval_data.test_users)
         n = users.shape[0]
@@ -76,7 +82,15 @@ class Evaluator:
         # wrap-padded tail entries must not contribute: valid only for first n slots
         flat_pos = np.arange(batches.size).reshape(batches.shape)
         self._valid = jnp.asarray((flat_pos < n).astype(np.float32))
-        self._eval_jit = jax.jit(self._eval_all)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            shard = NamedSharding(mesh, P(None, "data"))
+            self._user_batches = jax.device_put(self._user_batches, shard)
+            self._valid = jax.device_put(self._valid, shard)
+            rep = NamedSharding(mesh, P())
+            self._eval_jit = jax.jit(self._eval_all, out_shardings=rep)
+        else:
+            self._eval_jit = jax.jit(self._eval_all)
 
     def _eval_all(self, params):
         model, ed = self.model, self.eval_data

@@ -109,6 +109,32 @@ def test_sharded_step_matches_single_device(tiny_ui):
         np.asarray(ref_new["item_embeds"])[:n_items], rtol=2e-4, atol=2e-6)
 
 
+def test_sharded_evaluator_matches_single_device():
+    """Evaluator(mesh=...) — user batches split over the data axis — must
+    produce exactly the single-device metrics."""
+    from sslrec_tpu.config import load_config
+    from sslrec_tpu.data.general_cf import bundle_from_matrices
+    from sslrec_tpu.models.registry import build_model
+    from sslrec_tpu.trainer.metrics import Evaluator
+
+    trn = random_ui_matrix(60, 30, density=0.15, seed=0)
+    tst = random_ui_matrix(60, 30, density=0.05, seed=1)
+    data = bundle_from_matrices(trn, None, tst)
+    cfg = load_config("lightgcn", overrides={
+        "test.batch_size": 16, "test.k": [5, 10],
+        "model.embedding_size": 8,
+        "test.metrics": ["recall", "ndcg", "precision", "mrr"],
+    })
+    model = build_model(cfg, data)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    single = Evaluator(model, data.test, cfg)(params)
+    mesh = make_mesh(n_data=4, n_model=1)
+    sharded = Evaluator(model, data.test, cfg, mesh=mesh)(params)
+    for m in single:
+        np.testing.assert_allclose(sharded[m], single[m], rtol=1e-5)
+
+
 def test_sharded_topk_matches_global():
     mesh = make_mesh(n_data=1, n_model=8)
     b, n_items = 6, 64
