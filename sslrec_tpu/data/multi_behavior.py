@@ -90,6 +90,29 @@ def load(cfg) -> DataBundle:
                                  meta_users=meta_users, kg_triplets=kg_triplets)
 
 
+def load_mf(cfg) -> DataBundle:
+    """Plain matrix-factorisation view of a multi-behavior dataset
+    (``DataHandlerMF``, ``data_handler_multi_behavior.py:154-165``): only the
+    target behavior's train matrix + test split, no propagation graphs."""
+    d = _dataset_dir(cfg)
+    behaviors = BEHAVIORS[cfg.data.name]
+    target = cfg.model.get("target", "buy")
+    beh = target if target in behaviors else behaviors[-1]
+    with open(os.path.join(d, f"train_mat_{beh}.pkl"), "rb") as f:
+        trn = (pickle.load(f) != 0).astype(np.float32).tocoo()
+    with open(os.path.join(d, "test_mat.pkl"), "rb") as f:
+        tst = (pickle.load(f) != 0).astype(np.float32)
+    order = np.lexsort((trn.col, trn.row))
+    return DataBundle(
+        user_num=int(trn.shape[0]), item_num=int(trn.shape[1]),
+        train_users=jnp.asarray(trn.row[order], dtype=jnp.int32),
+        train_items=jnp.asarray(trn.col[order], dtype=jnp.int32),
+        train_edge_set=sparse_ops.build_edge_set(trn),
+        valid=None, test=_eval_data(tst.tocoo(), trn),
+        extras={"train_mat_scipy": trn},
+    )
+
+
 def bundle_from_behaviors(cfg, behaviors, mats, tst_mat, meta_mats=None,
                           meta_users=None, kg_triplets=None) -> DataBundle:
     target = cfg.model.get("target", "buy")

@@ -16,6 +16,10 @@ _HANDLERS = {
 
 def load_data(cfg):
     dtype = cfg.data.type
+    if dtype == "multi_behavior_mf":
+        # DataHandlerMF (data_handler_multi_behavior.py:154-165): plain MF view
+        from sslrec_tpu.data import multi_behavior
+        return multi_behavior.load_mf(cfg)
     if dtype not in _HANDLERS:
         raise KeyError(f"unknown data type {dtype!r}; available: {sorted(_HANDLERS)}")
     module = importlib.import_module(_HANDLERS[dtype])
