@@ -48,3 +48,20 @@ class Logger:
             for k, v in zip(ks, vals):
                 parts.append(f"{metric}@{k}: {float(v):.5f}")
         self.log(f"{head}{name} {' '.join(parts)}")
+
+
+def log_exceptions(fn):
+    """Decorator: log any exception through the instance's logger, then
+    re-raise (parity with ``trainer/utils.py:12-19``)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        try:
+            return fn(self, *args, **kwargs)
+        except Exception as e:  # noqa: BLE001 — log-and-reraise by design
+            logger = getattr(self, "logger", None)
+            if logger is not None:
+                logger.log(f"exception in {fn.__name__}: {e!r}")
+            raise
+    return wrapper

@@ -26,7 +26,7 @@ from jax import lax
 
 from sslrec_tpu.data.base import DataBundle
 from sslrec_tpu.data.sampling import sample_negatives
-from sslrec_tpu.trainer.logger import Logger
+from sslrec_tpu.trainer.logger import Logger, log_exceptions
 from sslrec_tpu.trainer.metrics import Evaluator
 from sslrec_tpu.utils import checkpoint as ckpt
 
@@ -188,6 +188,7 @@ class Trainer:
         return params, kg_loss
 
     # ------------------------------------------------------------------
+    @log_exceptions
     def train(self, params=None):
         cfg = self.cfg
         seed = int(cfg.train.seed)
