@@ -123,10 +123,12 @@ def _spmm_kernel(owners_ref, lrows_ref, contrib_ref, out_ref):
     lrows = lrows_ref[0, 0, :]                            # [M]
     row_ids = lax.broadcasted_iota(jnp.int32, (r, m), 0)  # [R, M]
     onehot = (row_ids == lrows[None, :]).astype(jnp.float32)
-    # HIGHEST precision: exact f32 accumulate (default MXU bf16 3-pass loses
-    # ~2^-8 relative on the gathered values; the matmul is not the bottleneck)
+    # HIGHEST precision by default: exact f32 accumulate (default MXU bf16
+    # 3-pass loses ~2^-8 relative on the gathered values).  The one-hot matrix
+    # is exact in bf16, so SSLREC_PALLAS_PRECISION=default trades that mantissa
+    # loss for fewer MXU passes when the matmul (not grid overhead) dominates.
     update = jax.lax.dot(onehot, contrib_ref[...],
-                         precision=jax.lax.Precision.HIGHEST,
+                         precision=_mxu_precision(),
                          preferred_element_type=jnp.float32)
 
     @_pl().when(is_first)
@@ -136,6 +138,14 @@ def _spmm_kernel(owners_ref, lrows_ref, contrib_ref, out_ref):
     @_pl().when(jnp.logical_not(is_first))
     def _():
         out_ref[...] = out_ref[...] + update
+
+
+@functools.lru_cache(maxsize=1)
+def _mxu_precision():
+    import os
+    mode = os.environ.get("SSLREC_PALLAS_PRECISION", "highest").lower()
+    return (jax.lax.Precision.DEFAULT if mode == "default"
+            else jax.lax.Precision.HIGHEST)
 
 
 @functools.lru_cache(maxsize=1)

@@ -75,6 +75,26 @@ def test_sequential_model_trains(name):
         assert np.isfinite(vals).all() and (vals >= 0).all(), (name, m, vals)
 
 
+def test_bert4rec_masked_budget_equals_full_loss():
+    """With budget >= masked count the gathered-position CE is exactly the
+    all-position CE (unmasked positions only contribute ignore_index zeros)."""
+    train, test = _synthetic_seqs()
+    cfg_full = load_config("bert4rec", overrides=SMALL)
+    cfg_k = load_config("bert4rec", overrides={**SMALL,
+                                               "model.masked_budget": 10})
+    data = seq_data.bundle_from_seqs(cfg_full, train, test)
+    m_full = build_model(cfg_full, data)
+    m_k = build_model(cfg_k, data)
+    params = m_full.init_params(jax.random.PRNGKey(0))
+    arr = data.extras["train_arrays"]
+    batch = {"user": arr["user"][:16], "seq_last": arr["seq_last"][:16],
+             "pos": arr["pos"][:16]}
+    key = jax.random.PRNGKey(7)
+    l_full, _ = m_full.loss(params, batch, key)
+    l_k, _ = m_k.loss(params, batch, key)
+    np.testing.assert_allclose(float(l_k), float(l_full), rtol=1e-6)
+
+
 def test_handler_padding_and_stats():
     cfg = load_config("bert4rec", overrides=SMALL)
     train, test = _synthetic_seqs()
