@@ -219,5 +219,16 @@ def parse_cli(argv: list[str] | None = None) -> Config:
         overrides["train.epoch"] = args.epoch
     for item in args.set:
         path, _, val = item.partition("=")
-        overrides[path] = yaml.safe_load(val)
+        parsed = yaml.safe_load(val)
+        if isinstance(parsed, str):
+            # pyyaml follows YAML 1.1: "1e12" (no dot) is a string; users mean
+            # the number — coerce strings that fully parse as int/float
+            try:
+                parsed = int(parsed)
+            except ValueError:
+                try:
+                    parsed = float(parsed)
+                except ValueError:
+                    pass
+        overrides[path] = parsed
     return load_config(args.model, dataset=args.dataset, overrides=overrides)

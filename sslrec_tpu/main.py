@@ -27,6 +27,15 @@ def main(argv=None):
     cfg = parse_cli(argv)
     logger = Logger(cfg)
     logger.log(f"devices: {jax.devices()}")
+    if cfg.train.get("debug_nans", False):
+        # analog of the reference's inline NaN asserts (trainer.py:889-890):
+        # every jitted computation re-runs un-jitted on NaN and pinpoints the op
+        jax.config.update("jax_debug_nans", True)
+        logger.log("jax_debug_nans enabled")
+    profile_dir = cfg.train.get("profile", "")
+    if profile_dir:
+        jax.profiler.start_trace(str(profile_dir))
+        logger.log(f"capturing profiler trace to {profile_dir}")
     data = load_data(cfg)
     logger.log(f"data loaded: {data.user_num} users x {data.item_num} items, "
                f"{data.n_train} train interactions")
@@ -47,7 +56,12 @@ def main(argv=None):
         results = trainer.test(params)
         logger.log_eval(results, cfg.test.k, name="(test from checkpoint)")
         return
-    trainer.train()
+    try:
+        trainer.train()
+    finally:
+        if profile_dir:
+            jax.profiler.stop_trace()
+            logger.log(f"profiler trace written to {profile_dir}")
 
 
 if __name__ == "__main__":

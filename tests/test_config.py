@@ -47,3 +47,17 @@ def test_load_lightgcn_yaml():
                        overrides={"model.layer_num": 3})
     assert cfg2.data.name == "gowalla"
     assert cfg2.model.layer_num == 3
+
+
+def test_cli_set_numeric_coercion():
+    """--set values like 1e12 (YAML 1.1 strings) must land as numbers."""
+    from sslrec_tpu.config import parse_cli
+    cfg = parse_cli(["--model", "lightgcn",
+                     "--set", "optimizer.lr=1e12",
+                     "--set", "model.layer_num=3",
+                     "--set", "train.trainer=custom",
+                     "--set", "model.keep_rate=0.7"])
+    assert cfg.optimizer.lr == 1e12 and isinstance(cfg.optimizer.lr, float)
+    assert cfg.model.layer_num == 3
+    assert cfg.train.trainer == "custom"       # non-numeric strings unchanged
+    assert cfg.model.keep_rate == 0.7
