@@ -90,8 +90,12 @@ class LightGCL(RecModel):
         neg_s = jnp.sum(eu[ancs] * ei[negs], -1)
         bpr = -jnp.mean(jnp.log(jax.nn.sigmoid(pos_s - neg_s) + 1e-12))
 
-        neg_score = jnp.mean(jnp.log(jnp.sum(jnp.exp(gu[ancs] @ eu.T / self.temp), 1) + 1e-8))
-        neg_score += jnp.mean(jnp.log(jnp.sum(jnp.exp(gi[poss] @ ei.T / self.temp), 1) + 1e-8))
+        # reference computes log(Σexp(·)+1e-8) (lightgcl.py:114-115), which
+        # overflows f32 exp once logits/temp exceed ~88 and NaN-collapses the
+        # run (observed at epoch 2 on yelp); logsumexp is the same quantity
+        # computed stably (the +1e-8 only matters when every logit < -18)
+        neg_score = jnp.mean(jax.nn.logsumexp(gu[ancs] @ eu.T / self.temp, axis=1))
+        neg_score += jnp.mean(jax.nn.logsumexp(gi[poss] @ ei.T / self.temp, axis=1))
         pos_score = jnp.mean(jnp.clip(jnp.sum(gu[ancs] * eu[ancs], 1) / self.temp, -5.0, 5.0))
         pos_score += jnp.mean(jnp.clip(jnp.sum(gi[poss] * ei[poss], 1) / self.temp, -5.0, 5.0))
         cl = self.cl_weight * (neg_score - pos_score)
