@@ -62,7 +62,12 @@ def _dataset_dir(cfg) -> str:
 def load(cfg) -> DataBundle:
     d = _dataset_dir(cfg)
     name = cfg.data.name
-    behaviors = BEHAVIORS[name]
+    # The reference snapshot omits the densest behavior matrix for tmall
+    # (train_mat_pv.pkl) and ijcai_15 (train_mat_click.pkl) even though its own
+    # handler lists them (data_handler_multi_behavior.py:20-24) — fall back to
+    # the behaviors whose pickles actually exist.
+    behaviors = [b for b in BEHAVIORS[name]
+                 if os.path.exists(os.path.join(d, f"train_mat_{b}.pkl"))]
     mats = []
     for beh in behaviors:
         with open(os.path.join(d, f"train_mat_{beh}.pkl"), "rb") as f:

@@ -28,7 +28,7 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "cl4srec": ("sslrec_tpu.models.sequential.cl4srec", "CL4SRec"),
     "duorec": ("sslrec_tpu.models.sequential.duorec", "DuoRec"),
     "iclrec": ("sslrec_tpu.models.sequential.iclrec", "ICLRec"),
-    "dcrec": ("sslrec_tpu.models.sequential.dcrec", "DCRec"),
+    "dcrec_seq": ("sslrec_tpu.models.sequential.dcrec", "DCRec"),
     "maerec": ("sslrec_tpu.models.sequential.maerec", "MAERec"),
     # social
     "mhcn": ("sslrec_tpu.models.social.mhcn", "MHCN"),

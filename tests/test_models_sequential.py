@@ -44,12 +44,12 @@ SMALL = {
 
 
 @pytest.mark.parametrize("name", ["bert4rec", "cl4srec", "duorec", "iclrec",
-                                  "maerec", "dcrec"])
+                                  "maerec", "dcrec_seq"])
 def test_sequential_model_trains(name):
     overrides = dict(SMALL)
     if name == "iclrec":
         overrides["model.num_intent_clusters"] = 4
-    if name == "dcrec":
+    if name == "dcrec_seq":
         overrides["model.sim_group_k"] = 2
     if name == "maerec":
         overrides.update({"model.con_batch": 8, "model.num_reco_neg": 4,
