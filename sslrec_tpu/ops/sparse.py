@@ -131,13 +131,18 @@ class EdgeSet(NamedTuple):
 
     Primary mode packs ``row * n_cols + col`` into a sorted int32 code array
     (JAX default int width; exact while ``n_rows * n_cols < 2^31``).  For larger
-    shapes (KG-scale entity spaces) it falls back to a padded per-row layout
-    searched by gather+compare — still fixed-shape and jittable.
+    shapes (KG-scale entity/item spaces) it stores the CSR (indptr, sorted cols)
+    and binary-searches each row segment with a static-depth lower-bound loop —
+    O(nnz) memory instead of the O(n_rows × max_degree) padded layout, which
+    for skewed graphs (e.g. MAERec's item-item transition graph) exploded to
+    hundreds of MB of HLO constants and overflowed the remote-compile tunnel.
     """
 
-    codes: jnp.ndarray | None   # int32 [nnz] sorted, or None in padded mode
-    padded: "PaddedRows | None"  # fallback structure, or None in code mode
+    codes: jnp.ndarray | None    # int32 [nnz] sorted, or None in CSR mode
+    indptr: jnp.ndarray | None   # int32 [n_rows+1], CSR mode only
+    sorted_cols: jnp.ndarray | None  # int32 [nnz], per-row sorted, CSR mode only
     n_cols: int
+    search_depth: int            # static binary-search iterations (CSR mode)
 
     def contains(self, rows: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
         """Vectorised membership test; any shape, returns bool of same shape."""
@@ -146,9 +151,20 @@ class EdgeSet(NamedTuple):
             idx = jnp.searchsorted(self.codes, q)
             idx = jnp.clip(idx, 0, self.codes.shape[0] - 1)
             return self.codes[idx] == q
-        row_cols = self.padded.cols[rows]          # [..., W]
-        row_mask = self.padded.mask[rows]
-        return jnp.any((row_cols == cols[..., None]) & row_mask, axis=-1)
+        rows = rows.astype(jnp.int32)
+        q = cols.astype(jnp.int32)
+        lo = self.indptr[rows]
+        end = self.indptr[rows + 1]
+        hi = end
+        nnz = self.sorted_cols.shape[0]
+        # lower_bound over [lo, hi): static unrolled loop, depth ⌈log2(max_deg+1)⌉
+        for _ in range(self.search_depth):
+            mid = (lo + hi) // 2
+            v = self.sorted_cols[jnp.minimum(mid, nnz - 1)]
+            go_right = (v < q) & (mid < hi)
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(go_right, hi, mid)
+        return (lo < end) & (self.sorted_cols[jnp.minimum(lo, nnz - 1)] == q)
 
 
 def build_edge_set(mat: sp.spmatrix) -> "EdgeSet":
@@ -156,8 +172,16 @@ def build_edge_set(mat: sp.spmatrix) -> "EdgeSet":
     if int(coo.shape[0]) * int(coo.shape[1]) < 2**31:
         codes = np.sort(coo.row.astype(np.int64) * coo.shape[1]
                         + coo.col.astype(np.int64)).astype(np.int32)
-        return EdgeSet(codes=jnp.asarray(codes), padded=None, n_cols=int(coo.shape[1]))
-    return EdgeSet(codes=None, padded=build_padded_rows(mat), n_cols=int(coo.shape[1]))
+        return EdgeSet(codes=jnp.asarray(codes), indptr=None, sorted_cols=None,
+                       n_cols=int(coo.shape[1]), search_depth=0)
+    csr = mat.tocsr()
+    csr.sort_indices()
+    max_deg = int(np.diff(csr.indptr).max(initial=0))
+    depth = max(int(np.ceil(np.log2(max_deg + 1))), 1)
+    return EdgeSet(codes=None,
+                   indptr=jnp.asarray(csr.indptr.astype(np.int32)),
+                   sorted_cols=jnp.asarray(csr.indices.astype(np.int32)),
+                   n_cols=int(coo.shape[1]), search_depth=depth)
 
 
 class PaddedRows(NamedTuple):

@@ -80,12 +80,17 @@ class Trainer:
         has_aux_state = hasattr(model, "epoch_state")
         # scenario handlers may provide extra per-interaction arrays (sequences,
         # behaviour ids, ...) beyond the default (user, pos) pair
-        arrays = dict(data.extras.get("train_arrays")
-                      or {"user": data.train_users, "pos": data.train_items})
+        self._train_arrays = dict(data.extras.get("train_arrays")
+                                  or {"user": data.train_users,
+                                      "pos": data.train_items})
         needs_neg = "neg" in getattr(model, "batch_fields", ("user", "pos", "neg"))
         neg_low = int(data.extras.get("neg_low", 0))
 
-        def epoch_fn(params, opt_state, key, aux_state):
+        # ``arrays`` is a jit *argument* (not a closure): closed-over device
+        # arrays are lowered as literal HLO constants, and full-epoch sequence
+        # tensors (e.g. sports: 2×37 MB) bloat the program past what the
+        # remote-compile transport accepts.
+        def epoch_fn(params, opt_state, key, aux_state, arrays):
             pkey, nkey, xkey, skey = jax.random.split(key, 4)
             perm = jax.random.permutation(pkey, n_train).astype(jnp.int32)
             if pad:
@@ -138,7 +143,8 @@ class Trainer:
         aux_state = None
         if hasattr(self.model, "epoch_state"):
             aux_state = self.model.epoch_state(params, key, epoch)
-        params, opt_state, mean_aux = self._epoch_fn(params, opt_state, key, aux_state)
+        params, opt_state, mean_aux = self._epoch_fn(params, opt_state, key,
+                                                     aux_state, self._train_arrays)
         if getattr(self.model, "train_trans", False) and hasattr(self.model, "kg_loss"):
             params, kg_loss = self._kg_trans_epoch(params, key)
             mean_aux = dict(mean_aux, kg_loss=kg_loss)

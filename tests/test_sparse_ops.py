@@ -110,19 +110,43 @@ def test_edge_set_membership(tiny_ui):
     assert not bool(es.contains(r2, c2).any())
 
 
-def test_edge_set_padded_mode(tiny_ui):
-    """Fallback path for shapes where row*n_cols+col would overflow int32."""
-    es = sparse_ops.EdgeSet(codes=None,
-                            padded=sparse_ops.build_padded_rows(tiny_ui),
-                            n_cols=tiny_ui.shape[1])
-    coo = tiny_ui.tocoo()
-    r = jnp.asarray(coo.row[:10], dtype=jnp.int32)
-    c = jnp.asarray(coo.col[:10], dtype=jnp.int32)
-    assert bool(es.contains(r, c).all())
-    dense = tiny_ui.toarray()
-    ui = np.argwhere(dense == 0)[:10]
-    assert not bool(es.contains(jnp.asarray(ui[:, 0], dtype=jnp.int32),
-                                jnp.asarray(ui[:, 1], dtype=jnp.int32)).any())
+def test_edge_set_csr_mode(tiny_ui):
+    """Fallback path for shapes where row*n_cols+col would overflow int32:
+    CSR binary search must agree with dense membership everywhere."""
+    csr = tiny_ui.tocsr()
+    csr.sort_indices()
+    max_deg = int(np.diff(csr.indptr).max())
+    es = sparse_ops.EdgeSet(
+        codes=None,
+        indptr=jnp.asarray(csr.indptr.astype(np.int32)),
+        sorted_cols=jnp.asarray(csr.indices.astype(np.int32)),
+        n_cols=tiny_ui.shape[1],
+        search_depth=int(np.ceil(np.log2(max_deg + 1))))
+    dense = tiny_ui.toarray() != 0
+    rr, cc = np.meshgrid(np.arange(tiny_ui.shape[0]),
+                         np.arange(tiny_ui.shape[1]), indexing="ij")
+    got = np.asarray(es.contains(jnp.asarray(rr.ravel(), dtype=jnp.int32),
+                                 jnp.asarray(cc.ravel(), dtype=jnp.int32)))
+    np.testing.assert_array_equal(got, dense.ravel())
+
+
+def test_edge_set_csr_mode_via_builder():
+    """A genuinely >2^31-cell shape routes through the CSR branch."""
+    import scipy.sparse as sp
+    n = 70000  # n*n > 2^31
+    rng = np.random.default_rng(0)
+    r = rng.integers(0, n, 500)
+    c = rng.integers(0, n, 500)
+    mat = sp.coo_matrix((np.ones(500, np.float32), (r, c)), shape=(n, n))
+    es = sparse_ops.build_edge_set(mat)
+    assert es.codes is None and es.indptr is not None
+    assert bool(es.contains(jnp.asarray(r[:20], dtype=jnp.int32),
+                            jnp.asarray(c[:20], dtype=jnp.int32)).all())
+    # non-edges: shift columns by one (collision chance negligible at this density)
+    coo = mat.tocoo()
+    assert not bool(es.contains(jnp.asarray(coo.row[:20], dtype=jnp.int32),
+                                jnp.asarray((coo.col[:20] + 1) % n,
+                                            dtype=jnp.int32)).any())
 
 
 def test_padded_rows(tiny_ui):
