@@ -90,10 +90,14 @@ class DSL(RecModel):
             user_embeds2[batch["suser"]], user_embeds2[batch["spos"]],
             user_embeds2[batch["sneg"]])
         # random user pairs for self-augmented matching (drawn on device; the
-        # reference draws them per __getitem__, datasets_social.py:69-72)
+        # reference draws them per __getitem__, datasets_social.py:69-72).
+        # Tests may inject fixed pairs via batch["sal_u1"/"sal_u2"].
         n = ancs.shape[0]
-        u1 = jax.random.randint(jax.random.fold_in(ku, 0), (n,), 0, self.user_num)
-        u2 = jax.random.randint(jax.random.fold_in(ku, 1), (n,), 0, self.user_num)
+        if "sal_u1" in batch:
+            u1, u2 = batch["sal_u1"], batch["sal_u2"]
+        else:
+            u1 = jax.random.randint(jax.random.fold_in(ku, 0), (n,), 0, self.user_num)
+            u2 = jax.random.randint(jax.random.fold_in(ku, 1), (n,), 0, self.user_num)
         scores = self._label(params, kl, user_embeds[u1], user_embeds[u2], True)
         preds = jnp.sum(user_embeds2[u1] * user_embeds2[u2], axis=-1)
         sal = self.sal_weight * jnp.sum(jnp.maximum(0.0, 1.0 - scores * preds))
