@@ -84,17 +84,34 @@ def _build_graphs(seq_table, n_items1, sim_k):
                         shape=(n_rows_seq, n_items1)).tocsc()
     inc.data[:] = 1.0
     col_norm = np.sqrt(np.asarray(inc.multiply(inc).sum(0))).reshape(-1)
-    simm = (inc.T @ inc).toarray()
-    denom = np.outer(col_norm, col_norm)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        simm = np.where(denom > 0, simm / denom, 0.0)
+    # co-occurrence stays sparse (a dense [n_items, n_items] would be tens of
+    # GB on amazon-scale vocabularies); zero-similarity entries can never enter
+    # the top-k with positive weight, so per-row top-k over nonzeros is exact
+    simm = (inc.T @ inc).tocsr()
+    nnz_rows = np.repeat(np.arange(n_items1), np.diff(simm.indptr))
+    denom = col_norm[nnz_rows] * col_norm[simm.indices]
+    simm.data = np.where(denom > 0, simm.data / np.maximum(denom, 1e-12), 0.0)
     k = min(sim_k + 1, n_items1)
-    top_idx = np.argpartition(-simm, k - 1, axis=1)[:, :k]
-    top_w = np.take_along_axis(simm, top_idx, axis=1)
-    top_w = top_w / np.maximum(top_w.sum(1, keepdims=True), 1e-12)
-    sim_rows = np.repeat(np.arange(n_items1), k)
-    sim_cols = top_idx.reshape(-1)
-    sim_vals = top_w.reshape(-1).astype(np.float32)
+    sim_rows_l, sim_cols_l, sim_vals_l = [], [], []
+    indptr, indices, data = simm.indptr, simm.indices, simm.data
+    for r in range(n_items1):
+        lo, hi = indptr[r], indptr[r + 1]
+        if lo == hi:
+            continue
+        d = data[lo:hi]
+        if hi - lo > k:
+            keep = np.argpartition(-d, k - 1)[:k]
+        else:
+            keep = np.arange(hi - lo)
+        w = d[keep]
+        w = w / max(w.sum(), 1e-12)
+        sim_rows_l.append(np.full(len(keep), r, np.int32))
+        sim_cols_l.append(indices[lo:hi][keep])
+        sim_vals_l.append(w)
+    sim_rows = np.concatenate(sim_rows_l) if sim_rows_l else np.zeros(0, np.int32)
+    sim_cols = np.concatenate(sim_cols_l) if sim_cols_l else np.zeros(0, np.int32)
+    sim_vals = (np.concatenate(sim_vals_l) if sim_vals_l
+                else np.zeros(0)).astype(np.float32)
     return ((jnp.asarray(rows.astype(np.int32)), jnp.asarray(cols.astype(np.int32)),
              jnp.asarray(vals.astype(np.float32))),
             (jnp.asarray(user_eids), jnp.asarray(user_emask)),
