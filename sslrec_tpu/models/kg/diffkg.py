@@ -116,6 +116,8 @@ class DiffKG(RecModel):
         self._sqrt_ac = jnp.asarray(np.sqrt(ac), jnp.float32)
         self._sqrt_1mac = jnp.asarray(np.sqrt(1 - ac), jnp.float32)
         self._ac = jnp.asarray(ac, jnp.float32)
+        # SNR in float64 (1-ac cancels catastrophically in f32 near t=0)
+        self._snr = jnp.asarray(ac / (1 - ac), jnp.float32)
         post_var = betas * (1.0 - ac_prev) / (1.0 - ac)
         self._pm_c1 = jnp.asarray(betas * np.sqrt(ac_prev) / (1.0 - ac), jnp.float32)
         self._pm_c2 = jnp.asarray((1.0 - ac_prev) * np.sqrt(alphas) / (1.0 - ac),
@@ -293,7 +295,7 @@ class DiffKG(RecModel):
                 def full_loss(dp):
                     out = self._denoise_apply(dp, x_t, ts, dropout_key=kd)
                     mse = jnp.mean((x0 - out) ** 2, axis=1)
-                    snr = lambda t: self._ac[t] / (1 - self._ac[t])
+                    snr = lambda t: self._snr[t]
                     w = jnp.where(ts == 0, 1.0,
                                   snr(jnp.maximum(ts - 1, 0)) - snr(ts))
                     diff_l = jnp.mean(w * mse)

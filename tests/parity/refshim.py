@@ -305,6 +305,24 @@ def install_dgl():
 # loader
 # ---------------------------------------------------------------------------
 
+def install_cuda_noop():
+    """Reference diffusion code hard-codes ``.cuda()``; run it on CPU."""
+    torch.Tensor.cuda = lambda self, *a, **kw: self
+    torch.nn.Module.cuda = lambda self, *a, **kw: self
+
+
+def install_scipy_compat():
+    """The reference uses scipy<1.8's private ``dok_matrix._update``."""
+    import scipy.sparse as sp
+
+    if not hasattr(sp.dok_matrix, "_update"):
+        def _update(self, data):
+            for k, v in data.items():
+                self[k] = v
+
+        sp.dok_matrix._update = _update
+
+
 def load_ref(module: str):
     """Import a reference module (e.g. 'models.kg.kgin') with shims installed.
 
@@ -314,6 +332,8 @@ def load_ref(module: str):
     cfgs = install_configs()
     install_torch_scatter()
     install_dgl()
+    install_scipy_compat()
+    install_cuda_noop()
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
     return importlib.import_module(module), cfgs
