@@ -87,9 +87,6 @@ class KCGN(RecModel):
             "time_lin": linear_params(ks[2], 2 * d, d),
             "u_w": [xavier_uniform(k, (d, d)) for k in ks[4:4 + nl]],
             "v_w": [xavier_uniform(k, (d, d)) for k in ks[4 + nl:4 + 2 * nl]],
-            "uu_dgi_w": xavier_uniform(ks[3], (self.out_dim, self.out_dim)),
-            "ii_dgi_w": xavier_uniform(jax.random.fold_in(ks[3], 1),
-                                       (self.out_dim, self.out_dim)),
             "prelu": jnp.asarray(0.25),
         }
         if self.fuse == "weight":
@@ -137,7 +134,7 @@ class KCGN(RecModel):
         return user_embeds, ret_item
 
     # -- DGI (kcgn.py:137-152) ------------------------------------------------
-    def _dgi(self, params, key, w, graph, features, sub_adj, sub_norm, labels):
+    def _dgi(self, params, key, graph, features, sub_adj, sub_norm, labels):
         prelu = lambda x: jnp.where(x >= 0, x, params["prelu"] * x)
         pos = prelu(spmm(graph, features))
         perm = jax.random.permutation(key, features.shape[0])
@@ -145,8 +142,10 @@ class KCGN(RecModel):
         graph_embeds = jax.nn.sigmoid(spmm(sub_adj, pos) / sub_norm[:, None])
         summary = graph_embeds[labels]
 
+        # the reference discriminator defines a bilinear weight but never
+        # applies it (model_utils.py:295-307) -- plain dot-product scoring
         def disc(node, label):
-            score = jnp.sum((node @ w) * summary, axis=1)
+            score = jnp.sum(node * summary, axis=1)
             return jnp.maximum(score, 0) - score * label \
                 + jnp.log1p(jnp.exp(-jnp.abs(score)))
 
@@ -159,13 +158,13 @@ class KCGN(RecModel):
         bpr = losses.bpr_loss(anc_e, pos_e, neg_e)
         reg = self.reg_weight * losses.reg_pick_embeds([anc_e, pos_e, neg_e])
         k1, k2 = jax.random.split(key)
-        up, un = self._dgi(params, k1, params["uu_dgi_w"], self.uu_g,
+        up, un = self._dgi(params, k1, self.uu_g,
                            user_embeds, self.uu_sub_adj, self.uu_sub_norm,
                            self.uu_labels)
         umask = jnp.zeros((self.user_num,)).at[ancs].set(1.0) * self.uu_mask
         uu_loss = self.lam[0] * ((jnp.sum(up * umask) + jnp.sum(un * umask))
                                  / jnp.maximum(jnp.sum(umask), 1.0))
-        ip, in_ = self._dgi(params, k2, params["ii_dgi_w"], self.ii_g,
+        ip, in_ = self._dgi(params, k2, self.ii_g,
                             item_embeds, self.ii_sub_adj, self.ii_sub_norm,
                             self.ii_labels)
         imask = jnp.zeros((self.item_num,)).at[poss].set(1.0)

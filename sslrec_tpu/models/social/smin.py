@@ -59,7 +59,6 @@ class SMIN(RecModel):
                        "l2": {"w": xavier_uniform(ks[-5], (128, 1))}},
             "attn_i": {"l1": linear_params(ks[-4], self.in_size, 128),
                        "l2": {"w": xavier_uniform(ks[-3], (128, 1))}},
-            "dgi_w": xavier_uniform(ks[-2], (self.in_size, self.in_size)),
         }
         return p
 
@@ -102,8 +101,10 @@ class SMIN(RecModel):
         graph_embeds = jax.nn.sigmoid(
             spmm(self.sub_adj, features) / self.sub_norm[:, None])
 
+        # the reference discriminator defines a bilinear weight but never
+        # applies it (model_utils.py:295-307) -- plain dot-product scoring
         def disc(node, ref, label):
-            score = jnp.sum((node @ params["dgi_w"]) * ref, axis=1)
+            score = jnp.sum(node * ref, axis=1)
             # BCEWithLogits, per node
             return jnp.maximum(score, 0) - score * label \
                 + jnp.log1p(jnp.exp(-jnp.abs(score)))
