@@ -160,25 +160,46 @@ class DCRec(SequentialModel):
 
     # -- GCN over an edge triple ----------------------------------------------
     def _gcn(self, params, key, graph, edge_scale=None, deterministic=False):
+        """Replicates ``dcrec_seq.GCN.forward`` exactly: ``dgl.add_self_loop``
+        appends weight-1 loops on top of the pre-normalised values, and the
+        dgl ``GraphConv(norm='both')`` then re-normalises by *structural* edge
+        counts (so the augmented graph's removed edges also leave the
+        degrees)."""
         rows, cols, vals = graph
         item_emb = params["emb"]["token"]
         if not deterministic:
             key, kd = jax.random.split(key)
             item_emb = layers.dropout(kd, item_emb, self.dropout_rate, False)
         w = vals
+        live = jnp.ones_like(vals)
         if edge_scale is not None:
             w = w * edge_scale
+            live = live * edge_scale
+        deg_in = segment_sum(live, rows, self.n_items1) + 1.0
+        deg_out = segment_sum(live, cols, self.n_items1) + 1.0
+        dinv_in = deg_in ** -0.5
+        dinv_out = deg_out ** -0.5
+        we = w * dinv_out[cols] * dinv_in[rows]
+        loop_w = dinv_out * dinv_in  # the added self-loop carries weight 1
         if not deterministic and self.graph_dropout > 0:
-            key, kg = jax.random.split(key)
-            keep = jax.random.bernoulli(kg, 1 - self.graph_dropout, w.shape)
-            w = jnp.where(keep, w, 0.0)
+            key, kg, kl_ = jax.random.split(key, 3)
+            keep = jax.random.bernoulli(kg, 1 - self.graph_dropout, we.shape)
+            we = jnp.where(keep, we, 0.0)
+            keepl = jax.random.bernoulli(kl_, 1 - self.graph_dropout,
+                                         loop_w.shape)
+            loop_w = jnp.where(keepl, loop_w, 0.0)
         x = item_emb
         embs = [x]
         for _ in range(2):
-            x = segment_sum(x[cols] * w[:, None], rows, self.n_items1)
+            x = segment_sum(x[cols] * we[:, None], rows, self.n_items1) \
+                + loop_w[:, None] * x
             embs.append(x)
         out = sum(embs) / 3.0
-        return layers.apply_layer_norm(params["gcn_ln"], out + params["emb"]["token"])
+        # the residual uses the *dropped* table; eps matches the reference's
+        # nn.LayerNorm(eps=1e-12) -- at std-0.02 embeddings the default 1e-5
+        # would shift every row by ~1% (dcrec_seq.py:232,306-309)
+        return layers.apply_layer_norm(params["gcn_ln"], out + item_emb,
+                                       eps=1e-12)
 
     # -- contrastive helpers ----------------------------------------------------
     def _vanilla_nce(self, z1, z2):

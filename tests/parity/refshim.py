@@ -182,15 +182,44 @@ class _Graph:
     def edges(self):
         return self._src, self._dst
 
-    def in_degrees(self):
+    def in_degrees(self, nodes=None):
         deg = torch.zeros(self._n, dtype=torch.long)
         deg.scatter_add_(0, self._dst, torch.ones_like(self._dst))
-        return deg
+        return deg if nodes is None else deg[torch.as_tensor(nodes).long()]
 
-    def out_degrees(self):
+    def out_degrees(self, nodes=None):
         deg = torch.zeros(self._n, dtype=torch.long)
         deg.scatter_add_(0, self._src, torch.ones_like(self._src))
-        return deg
+        return deg if nodes is None else deg[torch.as_tensor(nodes).long()]
+
+    def out_edges(self, nodes):
+        """Out-edges of each node in ``nodes``, grouped per node in order."""
+        srcs, dsts = [], []
+        for n in torch.as_tensor(nodes).long().tolist():
+            m = (self._src == n).nonzero().view(-1)
+            srcs.append(self._src[m])
+            dsts.append(self._dst[m])
+        return torch.cat(srcs), torch.cat(dsts)
+
+    def edge_ids(self, u, v):
+        lut = {(int(a), int(b)): i
+               for i, (a, b) in enumerate(zip(self._src.tolist(),
+                                              self._dst.tolist()))}
+        u = torch.as_tensor(u).long().tolist()
+        v = torch.as_tensor(v).long().tolist()
+        return torch.tensor([lut[(a, b)] for a, b in zip(u, v)],
+                            dtype=torch.long)
+
+    def remove_edges(self, eids):
+        keep = torch.ones(self._src.numel(), dtype=torch.bool)
+        keep[torch.as_tensor(eids).long()] = False
+        self._src = self._src[keep]
+        self._dst = self._dst[keep]
+        self.edata = {k: v[keep] for k, v in self.edata.items()}
+
+    @property
+    def device(self):
+        return torch.device("cpu")
 
     def to(self, device):
         return self

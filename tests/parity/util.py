@@ -31,6 +31,22 @@ def set_linear(mod: torch.nn.Linear, p: dict) -> None:
             mod.bias.copy_(j2t(p["b"]))
 
 
+def set_transformer_layer(ref_layer, jl) -> None:
+    """Copy a repo transformer-layer pytree into a reference
+    ``model_utils.TransformerLayer``."""
+    attn = ref_layer.attention
+    for mod, name in zip(attn.linear_layers, ("q", "k", "v")):
+        set_linear(mod, jl["attn"][name])
+    set_linear(attn.output_linear, jl["attn"]["out"])
+    set_linear(ref_layer.feed_forward.w_1, jl["ff"]["w1"])
+    set_linear(ref_layer.feed_forward.w_2, jl["ff"]["w2"])
+    with torch.no_grad():
+        ref_layer.input_sublayer.norm.weight.copy_(j2t(jl["ln1"]["scale"]))
+        ref_layer.input_sublayer.norm.bias.copy_(j2t(jl["ln1"]["bias"]))
+        ref_layer.output_sublayer.norm.weight.copy_(j2t(jl["ln2"]["scale"]))
+        ref_layer.output_sublayer.norm.bias.copy_(j2t(jl["ln2"]["bias"]))
+
+
 def assert_close(a, b, rtol=1e-4, atol=1e-4, what=""):
     a = np.asarray(a.detach().cpu().numpy() if isinstance(a, torch.Tensor) else a)
     b = np.asarray(b.detach().cpu().numpy() if isinstance(b, torch.Tensor) else b)
