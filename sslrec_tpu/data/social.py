@@ -259,6 +259,11 @@ def bundle_from_matrices(cfg, trn_mat, tst_mat, trust_mat,
             sparse_ops.make_bi_adj(trn_bin, n_users, n_items))
         uu = (trust_mat != 0) * 1.0
         extras["uu_adj"] = maybe_pallas(sparse_ops.normalize_adj_sym(uu))
+    if model_name == "dcrec":
+        # raw trust edges for DcRec's per-step on-device graph augmentation
+        tcoo = (trust_mat != 0).astype(np.float32).tocoo()
+        extras["trust_edges"] = (jnp.asarray(tcoo.row.astype(np.int32)),
+                                 jnp.asarray(tcoo.col.astype(np.int32)))
     train_users = coo.row[order].astype(np.int32)
     train_items = coo.col[order].astype(np.int32)
     if model_name == "smin":

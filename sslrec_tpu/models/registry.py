@@ -35,6 +35,7 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "kcgn": ("sslrec_tpu.models.social.kcgn", "KCGN"),
     "smin": ("sslrec_tpu.models.social.smin", "SMIN"),
     "dsl": ("sslrec_tpu.models.social.dsl", "DSL"),
+    "dcrec": ("sslrec_tpu.models.social.dcrec", "DcRec"),
     # knowledge graph
     "kgin": ("sslrec_tpu.models.kg.kgin", "KGIN"),
     "kgcl": ("sslrec_tpu.models.kg.kgcl", "KGCL"),

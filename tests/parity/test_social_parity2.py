@@ -225,3 +225,70 @@ def test_smin_parity(monkeypatch):
         assert_close(rparts[part], jparts[part], rtol=2e-3, atol=3e-4,
                      what=f"SMIN {part}")
     assert_close(rloss, jloss, rtol=1e-3, what="SMIN total loss")
+
+
+# ---------------------------------------------------------------------------
+# DcRec (social)
+# ---------------------------------------------------------------------------
+
+def test_dcrec_social_parity():
+    """keep_rate=1.0 disables augmentation on both sides (p=0 -> identity
+    views), so towers, domain heads and all four loss components must agree."""
+    from sslrec_tpu.ops import sparse as sparse_ops
+
+    ui, trust = tiny_social(seed=9)
+    n_users, n_items = ui.shape
+    cfg = load_config("dcrec", overrides={
+        "model.embedding_size": 16, "model.keep_rate": 1.0,
+        "data.name": "synthetic"})
+    data = social_data.bundle_from_matrices(cfg, ui, ui, trust)
+    model = build_model(cfg, data)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    ref_mod, configs = load_ref("models.social.dcrec")
+    configs["data"].update({"user_num": n_users, "item_num": n_items})
+    configs["model"] = {
+        "embedding_size": 16,
+        "layer_num": int(cfg.model.layer_num),
+        "reg_weight": float(cfg.model.reg_weight),
+        "keep_rate": 1.0,
+        "cross_weight": float(cfg.model.cross_weight),
+        "domain_weight": float(cfg.model.domain_weight),
+        "tau": float(cfg.model.tau),
+    }
+    h = _Handler()
+    h.trn_mat = ui.tocsr()
+    h.trust_mat = (trust != 0).astype(np.float64).tocsr()
+    h.torch_adj = torch_sparse(sparse_ops.make_bi_adj(ui, n_users, n_items))
+    h.torch_uu_adj = None  # unused by the reference forward
+    ref = ref_mod.DcRec(h)
+    with torch.no_grad():
+        ref.ui_user_embeds.copy_(j2t(params["ui_user_embeds"]))
+        ref.uu_user_embeds.copy_(j2t(params["uu_user_embeds"]))
+        ref.ui_item_embeds.copy_(j2t(params["ui_item_embeds"]))
+    set_linear(ref.ui_linear, params["ui_linear"])
+    set_linear(ref.uu_linear, params["uu_linear"])
+
+    # forward parity (base towers; eval path)
+    ref.is_training = True
+    routs = ref.forward(ref.adj, None, 1.0, h.trn_mat, h.trust_mat)
+    ju, ji = model.generate(params)
+    assert_close(routs[0], ju, what="DcRec user embeds")
+    assert_close(routs[1], ji, what="DcRec item embeds")
+
+    rng = np.random.default_rng(4)
+    n = 32
+    ancs = rng.integers(0, n_users, n)
+    poss = rng.integers(0, n_items, n)
+    negs = rng.integers(0, n_items, n)
+    rloss, rparts = ref.cal_loss((torch.from_numpy(ancs),
+                                  torch.from_numpy(poss),
+                                  torch.from_numpy(negs)))
+    batch = {"user": jnp.asarray(ancs.astype(np.int32)),
+             "pos": jnp.asarray(poss.astype(np.int32)),
+             "neg": jnp.asarray(negs.astype(np.int32))}
+    jloss, jparts = model.loss(params, batch, jax.random.PRNGKey(5))
+    for part in ("bpr_loss", "reg_loss", "domain_loss", "cross_loss"):
+        assert_close(rparts[part], jparts[part], rtol=2e-4, atol=1e-5,
+                     what=f"DcRec {part}")
+    assert_close(rloss, jloss, rtol=2e-4, what="DcRec total loss")

@@ -56,7 +56,7 @@ def test_joint_adjacency_values():
     np.testing.assert_allclose(got, expect, rtol=1e-6)
 
 
-@pytest.mark.parametrize("name", ["mhcn", "dsl", "smin", "kcgn"])
+@pytest.mark.parametrize("name", ["mhcn", "dsl", "smin", "kcgn", "dcrec"])
 def test_social_model_trains(name):
     trn, tst, trust = _social_setup()
     cfg = load_config(name, overrides={
