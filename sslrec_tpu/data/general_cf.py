@@ -88,7 +88,12 @@ def load(cfg) -> DataBundle:
     tst = load_one_mat(os.path.join(d, "test_mat.pkl"))
     val_path = os.path.join(d, "valid_mat.pkl")
     val = load_one_mat(val_path) if os.path.exists(val_path) else None
-    # Models with few spmm instances per program (LightGCN: 2 fwd + 2 bwd)
-    # amortise the Mosaic compile quickly; multi-view models (SGL: 12) do not.
-    use_pallas = cfg.model.get("use_pallas", cfg.model.name in ("lightgcn",))
+    # Pallas spmm defaults ON for the scan-refactored family: all their hops
+    # and views share ONE kernel instance per program (ops/spmm.spmm_layers),
+    # which removed the per-call-site Mosaic compile blowup (SGL: >30 min in
+    # round 1 → 75 s compile+first-epoch, then ~2x faster epochs than XLA).
+    # Models still using python-loop propagation (HCCF, LightGCL, DCCF, AutoCF,
+    # GFormer, AdaGCL) stay opt-in until refactored.
+    scanned_family = ("lightgcn", "sgl", "simgcl", "ncl", "directau")
+    use_pallas = cfg.model.get("use_pallas", cfg.model.name in scanned_family)
     return bundle_from_matrices(trn, val, tst, use_pallas)

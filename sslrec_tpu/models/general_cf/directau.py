@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from sslrec_tpu.models import losses
 from sslrec_tpu.models.base import RecModel
-from sslrec_tpu.ops.spmm import spmm
+from sslrec_tpu.ops.spmm import spmm_layers
 from sslrec_tpu.utils.initializers import xavier_uniform
 
 
@@ -32,11 +32,8 @@ class DirectAU(RecModel):
 
     def propagate(self, params):
         embeds = jnp.concatenate([params["user_embeds"], params["item_embeds"]], axis=0)
-        acc = embeds
-        for _ in range(self.layer_num):
-            embeds = spmm(self.adj, embeds)
-            acc = acc + embeds
-        acc = acc / (self.layer_num + 1)  # mean of layers (directau.py:37)
+        ys = spmm_layers(self.adj, embeds, self.layer_num)  # one spmm instance
+        acc = (embeds + ys.sum(axis=0)) / (self.layer_num + 1)  # mean (directau.py:37)
         return acc[: self.user_num], acc[self.user_num:]
 
     def loss(self, params, batch, key):

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from sslrec_tpu.models import augment, losses
 from sslrec_tpu.models.base import RecModel
-from sslrec_tpu.ops.spmm import spmm
+from sslrec_tpu.ops.spmm import spmm, spmm_layers  # noqa: F401 (spmm used by subclasses)
 from sslrec_tpu.utils.initializers import xavier_uniform
 
 
@@ -34,12 +34,11 @@ class LightGCN(RecModel):
         }
 
     def propagate(self, params, edge_weight=None):
-        """Sum-of-layers propagation (``lightgcn.py:31-43``)."""
+        """Sum-of-layers propagation (``lightgcn.py:31-43``) — scanned so all
+        hops share one spmm (and one Pallas kernel) instance."""
         embeds = jnp.concatenate([params["user_embeds"], params["item_embeds"]], axis=0)
-        acc = embeds
-        for _ in range(self.layer_num):
-            embeds = spmm(self.adj, embeds, edge_weight=edge_weight)
-            acc = acc + embeds
+        ys = spmm_layers(self.adj, embeds, self.layer_num, edge_weight)
+        acc = embeds + ys.sum(axis=0)
         return acc[: self.user_num], acc[self.user_num:]
 
     def forward_train(self, params, key):

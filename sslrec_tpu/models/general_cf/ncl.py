@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from sslrec_tpu.models import augment, losses
 from sslrec_tpu.models.general_cf.lightgcn import LightGCN
-from sslrec_tpu.ops.spmm import spmm
+from sslrec_tpu.ops.spmm import spmm_layers
 
 
 class NCL(LightGCN):
@@ -50,14 +50,24 @@ class NCL(LightGCN):
 
     def _propagate_list(self, params):
         embeds = jnp.concatenate([params["user_embeds"], params["item_embeds"]], axis=0)
-        embeds_list = [embeds]
-        for _ in range(max(self.layer_num, self.high_order * 2)):
-            embeds = spmm(self.adj, embeds)
-            embeds_list.append(embeds)
-        return embeds_list
+        n_hops = max(self.layer_num, self.high_order * 2)
+        ys = spmm_layers(self.adj, embeds, n_hops)  # one spmm instance
+        return [embeds] + [ys[i] for i in range(n_hops)]
+
+    def hparams(self):
+        """Tuned scalars threaded as traced args (``batch['hp']``) so the grid
+        search (``configs/ncl.yml`` tune block, 45 trials) shares ONE compiled
+        epoch program across trials."""
+        return {"temperature": jnp.float32(self.temperature),
+                "proto_weight": jnp.float32(self.proto_weight),
+                "struct_weight": jnp.float32(self.struct_weight)}
 
     def loss(self, params, batch, key):
         aux = batch["aux"]
+        hp = batch.get("hp", {})
+        temp = hp.get("temperature", self.temperature)
+        proto_w = hp.get("proto_weight", self.proto_weight)
+        struct_w = hp.get("struct_weight", self.struct_weight)
         ancs, poss, negs = batch["user"], batch["pos"], batch["neg"]
         embeds_list = self._propagate_list(params)
         final = sum(embeds_list[: self.layer_num + 1])
@@ -69,17 +79,17 @@ class NCL(LightGCN):
 
         u_ego, i_ego = ego[: self.user_num], ego[self.user_num:]
         u_ctx, i_ctx = context[: self.user_num], context[self.user_num:]
-        struct = (losses.infonce_loss(u_ctx[ancs], u_ego[ancs], u_ego, self.temperature)
-                  + losses.infonce_loss(i_ctx[poss], i_ego[poss], i_ego, self.temperature)
-                  ) / ancs.shape[0] * self.struct_weight
+        struct = (losses.infonce_loss(u_ctx[ancs], u_ego[ancs], u_ego, temp)
+                  + losses.infonce_loss(i_ctx[poss], i_ego[poss], i_ego, temp)
+                  ) / ancs.shape[0] * struct_w
 
         ucent = jax.lax.stop_gradient(aux["user_centroids"])
         icent = jax.lax.stop_gradient(aux["item_centroids"])
         proto = (losses.infonce_loss(u_ego[ancs], ucent[aux["user2cluster"][ancs]],
-                                     ucent, self.temperature)
+                                     ucent, temp)
                  + losses.infonce_loss(i_ego[poss], icent[aux["item2cluster"][poss]],
-                                       icent, self.temperature)
-                 ) / ancs.shape[0] * self.proto_weight
+                                       icent, temp)
+                 ) / ancs.shape[0] * proto_w
 
         reg = self.reg_weight * losses.reg_params(params)
         loss = bpr + struct + proto + reg

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from sslrec_tpu.models import augment, losses
 from sslrec_tpu.models.general_cf.lightgcn import LightGCN
-from sslrec_tpu.ops.spmm import spmm
+from sslrec_tpu.ops.spmm import spmm_layers, spmm_views
 
 
 class SGL(LightGCN):
@@ -26,30 +26,43 @@ class SGL(LightGCN):
         self.cl_weight = float(cfg.model.cl_weight)
         self.temperature = float(cfg.model.temperature)
 
-    def forward_view(self, params, key, keep_rate):
-        """One augmented propagation view (``sgl.py:20-36``)."""
+    def _view_inputs(self, params, key, keep_rate):
+        """(x0, edge_weight) for one augmented view (``sgl.py:20-36``)."""
         embeds = jnp.concatenate([params["user_embeds"], params["item_embeds"]], axis=0)
-        if self.augmentation == "node_drop":
-            key, sub = jax.random.split(key)
-            embeds = augment.node_drop(sub, embeds, keep_rate)
         edge_weight = None
-        if self.augmentation == "edge_drop":
-            key, sub = jax.random.split(key)
-            edge_weight = augment.edge_drop_mask(sub, self.adj.nnz, keep_rate)
-        acc = embeds
-        for _ in range(self.layer_num):
-            ew = edge_weight
-            if self.augmentation == "random_walk":
-                key, sub = jax.random.split(key)
-                ew = augment.edge_drop_mask(sub, self.adj.nnz, keep_rate)
-            embeds = spmm(self.adj, embeds, edge_weight=ew)
-            acc = acc + embeds
+        if self.augmentation == "node_drop":
+            embeds = augment.node_drop(key, embeds, keep_rate)
+        elif self.augmentation == "edge_drop":
+            edge_weight = augment.edge_drop_mask(key, self.adj.nnz, keep_rate)
+        elif self.augmentation == "random_walk":
+            # fresh edge-drop sample per layer (the reference's branch is broken
+            # — SURVEY §7 known bugs — this is the intended semantics)
+            edge_weight = jnp.stack([
+                augment.edge_drop_mask(k, self.adj.nnz, keep_rate)
+                for k in jax.random.split(key, self.layer_num)])
+        return embeds, edge_weight
+
+    def forward_view(self, params, key, keep_rate):
+        """One augmented propagation view, scanned (single spmm instance)."""
+        x0, ew = self._view_inputs(params, key, keep_rate)
+        acc = x0 + spmm_layers(self.adj, x0, self.layer_num, ew).sum(axis=0)
         return acc[: self.user_num], acc[self.user_num:]
 
-    def loss(self, params, batch, key):
+    def _two_views(self, params, key):
+        """Both augmented views through ONE shared spmm call site."""
         k1, k2 = jax.random.split(key)
-        u1, i1 = self.forward_view(params, k1, self.keep_rate)
-        u2, i2 = self.forward_view(params, k2, self.keep_rate)
+        x0a, ewa = self._view_inputs(params, k1, self.keep_rate)
+        x0b, ewb = self._view_inputs(params, k2, self.keep_rate)
+        x0s = jnp.stack([x0a, x0b])
+        ews = None if ewa is None else jnp.stack([ewa, ewb])
+        out = spmm_views(self.adj, x0s, self.layer_num, ews)  # [2, L, N, d]
+        acc = x0s + out.sum(axis=1)
+        return acc[0], acc[1]
+
+    def loss(self, params, batch, key):
+        v1, v2 = self._two_views(params, key)
+        u1, i1 = v1[: self.user_num], v1[self.user_num:]
+        u2, i2 = v2[: self.user_num], v2[self.user_num:]
         u3, i3 = self.propagate(params)  # clean view for BPR
 
         ancs, poss, negs = batch["user"], batch["pos"], batch["neg"]

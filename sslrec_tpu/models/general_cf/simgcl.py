@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from sslrec_tpu.models import augment, losses
 from sslrec_tpu.models.general_cf.lightgcn import LightGCN
-from sslrec_tpu.ops.spmm import spmm
+from sslrec_tpu.ops.spmm import spmm_layers, spmm_views
 
 
 class SimGCL(LightGCN):
@@ -24,18 +24,28 @@ class SimGCL(LightGCN):
 
     def forward_perturbed(self, params, key):
         embeds = jnp.concatenate([params["user_embeds"], params["item_embeds"]], axis=0)
-        acc = embeds
-        for _ in range(self.layer_num):
-            key, sub = jax.random.split(key)
-            embeds = spmm(self.adj, embeds)
-            embeds = augment.embed_perturb(sub, embeds, self.eps)
-            acc = acc + embeds
+        ys = spmm_layers(self.adj, embeds, self.layer_num,
+                         post=lambda k, x: augment.embed_perturb(k, x, self.eps),
+                         keys=jax.random.split(key, self.layer_num))
+        acc = embeds + ys.sum(axis=0)
         return acc[: self.user_num], acc[self.user_num:]
 
+    def _two_perturbed(self, params, key):
+        """Both noise views through ONE shared spmm call site."""
+        embeds = jnp.concatenate([params["user_embeds"], params["item_embeds"]], axis=0)
+        x0s = jnp.stack([embeds, embeds])
+        keys = jax.random.split(key, 2 * self.layer_num).reshape(
+            2, self.layer_num, 2)
+        out = spmm_views(self.adj, x0s, self.layer_num,
+                         post=lambda k, x: augment.embed_perturb(k, x, self.eps),
+                         keys=keys)
+        acc = x0s + out.sum(axis=1)
+        return acc[0], acc[1]
+
     def loss(self, params, batch, key):
-        k1, k2 = jax.random.split(key)
-        u1, i1 = self.forward_perturbed(params, k1)
-        u2, i2 = self.forward_perturbed(params, k2)
+        v1, v2 = self._two_perturbed(params, key)
+        u1, i1 = v1[: self.user_num], v1[self.user_num:]
+        u2, i2 = v2[: self.user_num], v2[self.user_num:]
         u3, i3 = self.propagate(params)
 
         ancs, poss, negs = batch["user"], batch["pos"], batch["neg"]

@@ -24,6 +24,7 @@ from typing import NamedTuple
 import numpy as np
 import scipy.sparse as sp
 
+import jax
 import jax.numpy as jnp
 
 
@@ -126,7 +127,8 @@ def make_bi_adj(ui_mat: sp.spmatrix, n_users: int, n_items: int,
 # Edge-code membership structures (device-side set lookups)
 # ---------------------------------------------------------------------------
 
-class EdgeSet(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class EdgeSet:
     """Device-side set of (row, col) pairs with O(log nnz) membership tests.
 
     Primary mode packs ``row * n_cols + col`` into a sorted int32 code array
@@ -136,13 +138,26 @@ class EdgeSet(NamedTuple):
     O(nnz) memory instead of the O(n_rows × max_degree) padded layout, which
     for skewed graphs (e.g. MAERec's item-item transition graph) exploded to
     hundreds of MB of HLO constants and overflowed the remote-compile tunnel.
+
+    Registered as a pytree with ``n_cols``/``search_depth`` as *static* aux data
+    so an EdgeSet can be passed through ``jit``/``scan`` — the search-depth loop
+    bound must stay a python int, not a tracer.
     """
 
-    codes: jnp.ndarray | None    # int32 [nnz] sorted, or None in CSR mode
-    indptr: jnp.ndarray | None   # int32 [n_rows+1], CSR mode only
-    sorted_cols: jnp.ndarray | None  # int32 [nnz], per-row sorted, CSR mode only
-    n_cols: int
-    search_depth: int            # static binary-search iterations (CSR mode)
+    def __init__(self, codes, indptr, sorted_cols, n_cols, search_depth):
+        self.codes = codes               # int32 [nnz] sorted, or None (CSR mode)
+        self.indptr = indptr             # int32 [n_rows+1], CSR mode only
+        self.sorted_cols = sorted_cols   # int32 [nnz], per-row sorted, CSR mode
+        self.n_cols = n_cols
+        self.search_depth = search_depth  # static binary-search iterations
+
+    def tree_flatten(self):
+        return ((self.codes, self.indptr, self.sorted_cols),
+                (self.n_cols, self.search_depth))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
 
     def contains(self, rows: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
         """Vectorised membership test; any shape, returns bool of same shape."""

@@ -40,6 +40,69 @@ def spmm(g, x: jnp.ndarray, edge_weight: jnp.ndarray | None = None) -> jnp.ndarr
     )
 
 
+def spmm_layers(g, x0: jnp.ndarray, n_layers: int,
+                edge_weight: jnp.ndarray | None = None,
+                post=None, keys: jnp.ndarray | None = None) -> jnp.ndarray:
+    """``n_layers`` repeated ``A @ x`` hops with ONE spmm call site.
+
+    The python-loop formulation emits one spmm instance per hop, and on the
+    Pallas path every instance is a separate Mosaic kernel compile (the round-1
+    compile-scaling pathology: SGL's 12 instances > 30 min).  ``lax.scan``
+    traces the hop once, so the whole stack shares a single kernel instance in
+    both the forward and backward program.
+
+    ``edge_weight``: None | ``[nnz]`` (same every hop) | ``[n_layers, nnz]``.
+    ``post``: optional ``fn(key, x) -> x`` applied after each hop (SimGCL's
+    per-layer noise), driven by ``keys [n_layers, ...]``.
+    Returns the stacked per-hop outputs ``[n_layers, n_rows, d]``.
+    """
+    per_layer_ew = edge_weight is not None and edge_weight.ndim == 2
+
+    def body(x, inp):
+        inp = inp or {}
+        ew = inp.get("ew", edge_weight if not per_layer_ew else None)
+        y = spmm(g, x, edge_weight=ew)
+        if post is not None:
+            y = post(inp["key"], y)
+        return y, y
+
+    inputs = {}
+    if per_layer_ew:
+        inputs["ew"] = edge_weight
+    if post is not None:
+        inputs["key"] = keys
+    if inputs:
+        _, ys = jax.lax.scan(body, x0, inputs)
+    else:
+        _, ys = jax.lax.scan(body, x0, None, length=n_layers)
+    return ys
+
+
+def spmm_views(g, x0s: jnp.ndarray, n_layers: int,
+               edge_weights: jnp.ndarray | None = None,
+               post=None, keys: jnp.ndarray | None = None) -> jnp.ndarray:
+    """``V`` independent propagation stacks sharing ONE spmm call site.
+
+    ``x0s``: ``[V, N, d]``; ``edge_weights``: None | ``[V, nnz]`` |
+    ``[V, n_layers, nnz]``; ``keys``: ``[V, n_layers, ...]`` when ``post`` set.
+    Returns ``[V, n_layers, N, d]``.  Multi-view models (SGL's two augmented
+    views, SimGCL's two perturbed views) collapse onto one kernel instance.
+    """
+
+    def view(_, inp):
+        ys = spmm_layers(g, inp["x0"], n_layers, inp.get("ew"),
+                         post, inp.get("key"))
+        return None, ys
+
+    inputs = {"x0": x0s}
+    if edge_weights is not None:
+        inputs["ew"] = edge_weights
+    if keys is not None:
+        inputs["key"] = keys
+    _, out = jax.lax.scan(view, None, inputs)
+    return out
+
+
 def spmm_t(g, x: jnp.ndarray, edge_weight: jnp.ndarray | None = None) -> jnp.ndarray:
     """``A.T @ x`` without materialising the transposed graph.
 

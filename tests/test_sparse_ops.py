@@ -130,6 +130,77 @@ def test_edge_set_csr_mode(tiny_ui):
     np.testing.assert_array_equal(got, dense.ravel())
 
 
+def test_spmm_layers_matches_loop(tiny_ui):
+    """The scanned multi-hop helpers must equal the python-loop formulation."""
+    from sslrec_tpu.ops.spmm import spmm_layers, spmm_views
+
+    g = sparse_ops.from_scipy(sparse_ops.make_bi_adj(tiny_ui, *tiny_ui.shape))
+    n = g.n_rows
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (n, 8))
+    ew = jax.random.uniform(jax.random.PRNGKey(1), (3, g.nnz))
+
+    # per-layer edge weights
+    ys = spmm_layers(g, x0, 3, ew)
+    x = x0
+    for l in range(3):
+        x = spmm(g, x, edge_weight=ew[l])
+        np.testing.assert_allclose(np.asarray(ys[l]), np.asarray(x), rtol=1e-5)
+
+    # shared edge weight + views batching
+    ys1 = spmm_layers(g, x0, 2, ew[0])
+    x = spmm(g, x0, edge_weight=ew[0])
+    np.testing.assert_allclose(np.asarray(ys1[0]), np.asarray(x), rtol=1e-5)
+    x = spmm(g, x, edge_weight=ew[0])
+    np.testing.assert_allclose(np.asarray(ys1[1]), np.asarray(x), rtol=1e-5)
+
+    x0s = jnp.stack([x0, 2.0 * x0])
+    out = spmm_views(g, x0s, 2, jnp.stack([ew[0], ew[1]]))
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ys1), rtol=1e-5)
+    ys2 = spmm_layers(g, 2.0 * x0, 2, ew[1])
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ys2), rtol=1e-5)
+
+    # post-hook (SimGCL-style) threading: post sees one key per hop
+    seen = []
+
+    def post(k, x):
+        seen.append(k.shape)
+        return x + 1.0
+
+    keys = jax.random.split(jax.random.PRNGKey(2), 2)
+    ysp = spmm_layers(g, x0, 2, post=post, keys=keys)
+    xp = spmm(g, x0) + 1.0
+    np.testing.assert_allclose(np.asarray(ysp[0]), np.asarray(xp), rtol=1e-5)
+
+
+def test_edge_set_csr_mode_through_jit(tiny_ui):
+    """A CSR-mode EdgeSet passed *as a jit argument* (MAERec's train_step path)
+    must keep search_depth static — regression for the TracerIntegerConversion
+    crash when NamedTuple int leaves were traced."""
+    csr = tiny_ui.tocsr()
+    csr.sort_indices()
+    max_deg = int(np.diff(csr.indptr).max())
+    es = sparse_ops.EdgeSet(
+        codes=None,
+        indptr=jnp.asarray(csr.indptr.astype(np.int32)),
+        sorted_cols=jnp.asarray(csr.indices.astype(np.int32)),
+        n_cols=tiny_ui.shape[1],
+        search_depth=int(np.ceil(np.log2(max_deg + 1))))
+
+    @jax.jit
+    def probe(edge_set, r, c):
+        return edge_set.contains(r, c)
+
+    coo = tiny_ui.tocoo()
+    r = jnp.asarray(coo.row[:8], dtype=jnp.int32)
+    c = jnp.asarray(coo.col[:8], dtype=jnp.int32)
+    assert bool(probe(es, r, c).all())
+
+    from sslrec_tpu.data import sampling
+    negs = sampling.sample_negatives(jax.random.PRNGKey(0), r, es,
+                                     tiny_ui.shape[1])
+    assert not bool(es.contains(r, negs).any())
+
+
 def test_edge_set_csr_mode_via_builder():
     """A genuinely >2^31-cell shape routes through the CSR branch."""
     import scipy.sparse as sp
