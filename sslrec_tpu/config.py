@@ -187,7 +187,7 @@ def load_config(
     cfg = Config(merged)
     if overrides:
         for k, v in overrides.items():
-            if isinstance(v, Mapping):
+            if isinstance(v, Mapping) and "." not in k:
                 cfg = cfg.replace(**{k: v})
             else:
                 cfg = cfg.set_path(k, v)

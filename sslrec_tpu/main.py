@@ -25,6 +25,8 @@ from sslrec_tpu.utils import checkpoint as ckpt
 
 def main(argv=None):
     cfg = parse_cli(argv)
+    from sslrec_tpu.parallel.mesh import maybe_distributed_init
+    maybe_distributed_init(cfg)  # multi-host (DCN) gate; no-op unless configured
     logger = Logger(cfg)
     logger.log(f"devices: {jax.devices()}")
     if cfg.train.get("debug_nans", False):

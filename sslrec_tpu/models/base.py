@@ -56,6 +56,45 @@ class RecModel:
     def rating(self, user_emb: jnp.ndarray, item_emb: jnp.ndarray) -> jnp.ndarray:
         return user_emb @ item_emb.T
 
+    # -- parallelism --------------------------------------------------------
+    def sharded_row_dims(self) -> set[int]:
+        """Leading-dimension sizes whose parameter rows shard over ``model``.
+
+        Default: the embedding-table row spaces — user/item tables, the fused
+        ``[U+I]`` node table, and (for KG models) the entity/node table.  A
+        model with differently-shaped big tables overrides this.
+        """
+        dims = {self.user_num, self.item_num, self.user_num + self.item_num}
+        for attr in ("node_num", "entity_num", "n_nodes"):
+            v = getattr(self, attr, None)
+            if v:
+                dims.add(int(v))
+        return dims
+
+    def param_shardings(self, mesh, params: Params):
+        """NamedSharding pytree for ``params``: embedding-table rows over the
+        ``model`` axis, everything else replicated.
+
+        This is the generic TP rule the config-driven mesh path uses
+        (``train.mesh: {data: N, model: M}``): GSPMD propagates these argument
+        shardings through the whole jitted epoch program and inserts the
+        collectives — no per-model sharded step required.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from sslrec_tpu.parallel.mesh import MODEL_AXIS
+
+        n_model = mesh.shape[MODEL_AXIS]
+        row_dims = self.sharded_row_dims()
+
+        def rule(leaf):
+            if (getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] in row_dims
+                    and leaf.shape[0] % n_model == 0):
+                return NamedSharding(mesh, P(MODEL_AXIS))
+            return NamedSharding(mesh, P())
+
+        return jax.tree.map(rule, params)
+
     # -- shared helpers -----------------------------------------------------
     @staticmethod
     def mask_predict(preds: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

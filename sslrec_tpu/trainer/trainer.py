@@ -60,6 +60,12 @@ class Trainer:
         self.model = model
         self.data = data
         self.logger = logger or Logger(cfg)
+        # config-driven device mesh (train.mesh: {data: N, model: M}) — GSPMD
+        # shards the whole epoch program from the argument shardings alone
+        from sslrec_tpu.parallel.mesh import mesh_from_config
+        self.mesh = mesh_from_config(cfg)
+        if self.mesh is not None:
+            self.logger.log(f"mesh: {dict(self.mesh.shape)}")
         self.optimizer = build_optimizer(cfg)
         clip = getattr(model, "grad_clip", None)
         if clip:  # e.g. DSL's grad-norm clip (reference trainer.py:480)
@@ -75,6 +81,7 @@ class Trainer:
     # ------------------------------------------------------------------
     def _build_epoch_fn(self) -> Callable:
         model, data, opt = self.model, self.data, self.optimizer
+        mesh = self.mesh
         n_train, bsz, n_batches = data.n_train, self.batch_size, self.n_batches
         pad = n_batches * bsz - n_train
         has_aux_state = hasattr(model, "epoch_state")
@@ -89,8 +96,11 @@ class Trainer:
         # ``arrays`` is a jit *argument* (not a closure): closed-over device
         # arrays are lowered as literal HLO constants, and full-epoch sequence
         # tensors (e.g. sports: 2×37 MB) bloat the program past what the
-        # remote-compile transport accepts.
-        def epoch_fn(params, opt_state, key, aux_state, arrays):
+        # remote-compile transport accepts.  ``hparams`` likewise: tuned scalars
+        # arrive traced so every grid-search trial shares ONE compiled epoch
+        # program (baked-constant hyperparameters made each of NCL's 45 trials
+        # a fresh multi-minute compile).
+        def epoch_fn(params, opt_state, key, aux_state, arrays, hparams):
             pkey, nkey, xkey, skey = jax.random.split(key, 4)
             perm = jax.random.permutation(pkey, n_train).astype(jnp.int32)
             if pad:
@@ -113,6 +123,16 @@ class Trainer:
                 batch["step"] = step_idx
                 for k, v in sampled.items():
                     batch[k] = v[bidx]
+                if hparams:
+                    batch["hp"] = hparams
+                if mesh is not None:
+                    # data-parallel batches: GSPMD splits every per-step loss
+                    # over the 'data' axis from this one constraint
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+                    dp = NamedSharding(mesh, P("data"))
+                    batch = {k: (lax.with_sharding_constraint(v, dp)
+                                 if getattr(v, "ndim", 0) >= 1 else v)
+                             for k, v in batch.items()}
                 if has_aux_state:
                     batch["aux"] = aux_state
                 if hasattr(model, "train_step"):
@@ -143,8 +163,11 @@ class Trainer:
         aux_state = None
         if hasattr(self.model, "epoch_state"):
             aux_state = self.model.epoch_state(params, key, epoch)
+        hparams = (self.model.hparams() if hasattr(self.model, "hparams")
+                   else {})
         params, opt_state, mean_aux = self._epoch_fn(params, opt_state, key,
-                                                     aux_state, self._train_arrays)
+                                                     aux_state,
+                                                     self._train_arrays, hparams)
         if getattr(self.model, "train_trans", False) and hasattr(self.model, "kg_loss"):
             params, kg_loss = self._kg_trans_epoch(params, key)
             mean_aux = dict(mean_aux, kg_loss=kg_loss)
@@ -206,6 +229,13 @@ class Trainer:
             opt_state = self.model.init_opt_state(params)
         else:
             opt_state = self.optimizer.init(params)
+        if self.mesh is not None:
+            # commit embedding-table rows to the 'model' axis; the same
+            # shape-based rule shards the optimizer moments identically
+            params = jax.device_put(
+                params, self.model.param_shardings(self.mesh, params))
+            opt_state = jax.device_put(
+                opt_state, self.model.param_shardings(self.mesh, opt_state))
 
         # mid-train resume (an upgrade over the reference, which only supports
         # load-for-test): restores params + optimizer state + epoch counter
@@ -219,8 +249,8 @@ class Trainer:
             self.logger.log(f"resumed from {resume} at epoch {start_epoch}")
 
         eval_split = self.data.valid if self.data.valid is not None else self.data.test
-        evaluator = Evaluator(self.model, eval_split, cfg)
-        test_evaluator = Evaluator(self.model, self.data.test, cfg)
+        evaluator = Evaluator(self.model, eval_split, cfg, mesh=self.mesh)
+        test_evaluator = Evaluator(self.model, self.data.test, cfg, mesh=self.mesh)
 
         metric0 = cfg.test.metrics[0]
         patience = int(cfg.train.get("patience", 0) or 0)
@@ -285,10 +315,10 @@ class Trainer:
 
     def evaluate(self, params):
         split = self.data.valid if self.data.valid is not None else self.data.test
-        return Evaluator(self.model, split, self.cfg)(params)
+        return Evaluator(self.model, split, self.cfg, mesh=self.mesh)(params)
 
     def test(self, params):
-        return Evaluator(self.model, self.data.test, self.cfg)(params)
+        return Evaluator(self.model, self.data.test, self.cfg, mesh=self.mesh)(params)
 
     def _ckpt_path(self) -> str:
         import datetime, os
