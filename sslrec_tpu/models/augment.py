@@ -83,8 +83,13 @@ def kmeans(key: jax.Array, embeds: jnp.ndarray, cluster_num: int,
     with chunked distance computation.
     Returns (centroids [C, d], assignment [N], cluster_sizes [C, 1]).
     """
-    d = embeds.shape[-1]
-    centroids0 = jax.random.uniform(key, (cluster_num, d), embeds.dtype)
+    # init from sampled data points (faiss-style), NOT U[0,1): encoder outputs
+    # are zero-centred, so uniform-cube centroids capture no points — nearly
+    # every cluster came up empty and collapsed to the origin, which made the
+    # ICLRec/NCL prototype-CL terms noise (the round-1 quality gap on both).
+    pick = jax.random.choice(key, embeds.shape[0], (cluster_num,),
+                             replace=embeds.shape[0] < cluster_num)
+    centroids0 = embeds[pick]
 
     def assign(cents):
         # ||x - c||² = ||x||² - 2 x·c + ||c||²; argmin over c (MXU-friendly).
@@ -97,7 +102,9 @@ def kmeans(key: jax.Array, embeds: jnp.ndarray, cluster_num: int,
         sums = jax.ops.segment_sum(embeds, idx, num_segments=cluster_num)
         cnts = jax.ops.segment_sum(jnp.ones((embeds.shape[0],), embeds.dtype), idx,
                                    num_segments=cluster_num)
-        return sums / (cnts[:, None] + 1e-6)
+        # empty clusters keep their previous centroid instead of drifting to 0
+        return jnp.where(cnts[:, None] > 0, sums / jnp.maximum(cnts[:, None], 1.0),
+                         cents)
 
     centroids = jax.lax.fori_loop(0, iters, body, centroids0)
     idx = assign(centroids)

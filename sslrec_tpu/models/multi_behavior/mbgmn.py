@@ -42,6 +42,7 @@ class MBGMN(RecModel):
         self.att_head = int(m.att_head)
         self.samp_num = int(m.sampNum)
         self.mult = float(m.mult)
+        self.detach_pre = bool(m.get("detach_pre_loss", True))
         self.reg = float(cfg.train.get("reg", 1e-2))
         self.slope = float(m.get("slope", 0.1))
 
@@ -202,7 +203,17 @@ class MBGMN(RecModel):
                 pre_loss = pre_loss + jnp.mean(
                     jnp.maximum(0.0, 1.0 - (preds[:half] - preds[half:])))
         reg = self.reg * losses.reg_pick_embeds([ulat[-1], ilat[-1]])
-        return pre_loss + reg, {"pre_loss": pre_loss, "reg_loss": reg}
+        if self.detach_pre:
+            # Reference-faithful: the reference wraps its hinge in
+            # ``torch.tensor(...).clone().detach()`` (mbgmn.py:187), so the
+            # ranking term carries NO gradient — only the L2 shrinkage trains.
+            # Validated by a torch-CPU run of the reference itself
+            # (tools/validate_mbgmn_ref.py): R@20 0.0478 on retail_rocket.
+            # Set model.detach_pre_loss: false for the repaired trainable hinge.
+            loss = jax.lax.stop_gradient(pre_loss) + reg
+        else:
+            loss = pre_loss + reg
+        return loss, {"pre_loss": pre_loss, "reg_loss": reg}
 
     def generate(self, params):
         ulat, ilat = self.forward(params)
