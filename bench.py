@@ -1,65 +1,41 @@
-"""Benchmark: LightGCN training throughput on Yelp (the reference's flagship
-general-CF workload, ``config/modelconf/lightgcn.yml``).
+"""Benchmark suite: train/eval throughput + MFU across scenario-representative
+models (LightGCN, SGL, BERT4Rec, KGCL, CML — general CF, CF-SSL, sequential,
+KG, multi-behavior).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line.  Headline metric stays the round-1 comparable
+(LightGCN/Yelp train examples/s vs the faithful torch-CPU rerun of the
+reference step — the only reference-implementation number obtainable here, see
+BASELINE.md); the ``suite`` field carries the full table: per-model steady-state
+epoch seconds, train examples/s, eval users/s, and an edge-FLOPs MFU estimate.
 
-Baseline: the reference publishes no numbers (BASELINE.md), so the recorded
-baseline is a faithful torch-CPU run of the reference's LightGCN training step
-measured on this host (see BASELINE.md "measured" section) — the only
-reference-implementation number obtainable in this environment.
+MFU convention: "useful" model FLOPs only — 2·nnz·d per spmm application
+(gather-multiply-accumulate over edges), ×layers, ×(fwd + dx backward), plus the
+dense scoring matmul for eval — divided by the chip's bf16 peak (v5e: 197
+TFLOP/s).  Graph propagation is HBM-bound, so single-digit MFU is expected; the
+number is tracked to catch regressions, not to flatter.
+
+KGCL runs on synthetic KG data at realistic scale because no reference KG
+dataset ships a train split (verified: datasets/kg/*/ have no train.txt).
+Select a subset with SSLREC_BENCH_MODELS=lightgcn,sgl,...
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 from sslrec_tpu.utils.jax_setup import setup_jax
 
 setup_jax()
 
+import numpy as np
 import jax
 
-# Reference implementation throughput measured on this host (examples/s):
 # torch-CPU faithful rerun of the reference LightGCN training step (batch 4096,
 # yelp, full-graph forward per batch, edge dropout, Adam) = 987 ms/step.
-# See BASELINE.md for the measurement protocol and the CPU-vs-TPU caveat.
 BASELINE_EXAMPLES_PER_S = 4149.0
-
-
-def main():
-    from sslrec_tpu.config import load_config
-    from sslrec_tpu.data.registry import load_data
-    from sslrec_tpu.models.registry import build_model
-    from sslrec_tpu.trainer.trainer import Trainer
-
-    cfg = load_config("lightgcn", dataset="yelp")
-    data = load_data(cfg)
-    model = build_model(cfg, data)
-    trainer = Trainer(cfg, model, data, logger=_Null())
-
-    key = jax.random.PRNGKey(0)
-    params = model.init_params(key)
-    opt_state = trainer.optimizer.init(params)
-
-    # warmup & compile
-    params, opt_state, losses = trainer.train_epoch(params, opt_state, key, 0)
-    jax.block_until_ready(losses)
-
-    epochs = 5
-    t0 = time.time()
-    for e in range(epochs):
-        key, k = jax.random.split(key)
-        params, opt_state, losses = trainer.train_epoch(params, opt_state, k, e)
-    jax.block_until_ready(losses)
-    dt = time.time() - t0
-    examples_per_s = data.n_train * epochs / dt
-    print(json.dumps({
-        "metric": "lightgcn_yelp_train_throughput",
-        "value": round(examples_per_s, 1),
-        "unit": "examples/s",
-        "vs_baseline": round(examples_per_s / BASELINE_EXAMPLES_PER_S, 3),
-    }))
+PEAK_FLOPS = 197e12  # TPU v5e bf16
 
 
 class _Null:
@@ -68,6 +44,190 @@ class _Null:
 
     log_loss = log
     log_eval = log
+
+
+def _throughput(cfg, data, n_epochs=3):
+    """(epoch_s, train_examples_per_s, eval_users_per_s) steady-state."""
+    from sslrec_tpu.models.registry import build_model
+    from sslrec_tpu.trainer.trainer import Trainer
+    from sslrec_tpu.trainer.metrics import Evaluator
+
+    model = build_model(cfg, data)
+    trainer = Trainer(cfg, model, data, logger=_Null())
+    key = jax.random.PRNGKey(0)
+    params = model.init_params(key)
+    opt_state = (model.init_opt_state(params)
+                 if hasattr(model, "init_opt_state")
+                 else trainer.optimizer.init(params))
+    params, opt_state, aux = trainer.train_epoch(params, opt_state, key, 0)
+    jax.block_until_ready(aux)
+    t0 = time.time()
+    for e in range(1, 1 + n_epochs):
+        key, k = jax.random.split(key)
+        params, opt_state, aux = trainer.train_epoch(params, opt_state, k, e)
+    jax.block_until_ready(aux)
+    epoch_s = (time.time() - t0) / n_epochs
+
+    ev = Evaluator(model, data.test, cfg)
+    res = ev(params)  # compile
+    jax.block_until_ready(res)
+    t0 = time.time()
+    res = ev(params)
+    jax.block_until_ready(res)
+    eval_s = time.time() - t0
+    return epoch_s, data.n_train / epoch_s, int(data.test.n_test_users) / eval_s
+
+
+def _edge_flops_per_epoch(nnz, d, layers, n_batches, spmm_apps_per_step=None):
+    """2·nnz·d per spmm application; fwd L + backward dx L per step."""
+    apps = spmm_apps_per_step if spmm_apps_per_step is not None else 2 * layers
+    return 2.0 * nnz * d * apps * n_batches
+
+
+def bench_lightgcn():
+    from sslrec_tpu.config import load_config
+    from sslrec_tpu.data.registry import load_data
+
+    cfg = load_config("lightgcn", dataset="yelp")
+    data = load_data(cfg)
+    epoch_s, ex_s, ev_s = _throughput(cfg, data)
+    g = data.extras["bi_adj"]
+    nnz = getattr(g, "nnz", None) or g.rows.shape[0]
+    n_batches = -(-data.n_train // int(cfg.train.batch_size))
+    fl = _edge_flops_per_epoch(nnz, int(cfg.model.embedding_size),
+                               int(cfg.model.layer_num), n_batches)
+    return {"epoch_s": epoch_s, "train_examples_per_s": ex_s,
+            "eval_users_per_s": ev_s, "mfu": fl / epoch_s / PEAK_FLOPS}
+
+
+def bench_sgl():
+    from sslrec_tpu.config import load_config
+    from sslrec_tpu.data.registry import load_data
+
+    cfg = load_config("sgl", dataset="yelp")
+    data = load_data(cfg)
+    epoch_s, ex_s, ev_s = _throughput(cfg, data)
+    g = data.extras["bi_adj"]
+    nnz = getattr(g, "nnz", None) or g.rows.shape[0]
+    n_batches = -(-data.n_train // int(cfg.train.batch_size))
+    # 3 propagation stacks (2 views + clean), fwd + dx
+    fl = _edge_flops_per_epoch(nnz, int(cfg.model.embedding_size),
+                               int(cfg.model.layer_num), n_batches,
+                               spmm_apps_per_step=3 * 2 * int(cfg.model.layer_num))
+    return {"epoch_s": epoch_s, "train_examples_per_s": ex_s,
+            "eval_users_per_s": ev_s, "mfu": fl / epoch_s / PEAK_FLOPS}
+
+
+def bench_bert4rec():
+    from sslrec_tpu.config import load_config
+    from sslrec_tpu.data.registry import load_data
+
+    cfg = load_config("bert4rec", dataset="sports")
+    data = load_data(cfg)
+    epoch_s, ex_s, ev_s = _throughput(cfg, data)
+    # transformer FLOPs: 2·params_dense·tokens·3 (fwd+bwd) + CE scoring
+    d = int(cfg.model.embedding_size)
+    L = int(cfg.model.get("n_layers", 2))
+    seq = int(cfg.model.max_seq_len)
+    per_layer = 4 * d * d + 2 * d * 4 * d  # attn proj + ffn
+    toks = data.n_train * seq
+    fl = 2.0 * per_layer * L * toks * 3
+    return {"epoch_s": epoch_s, "train_examples_per_s": ex_s,
+            "eval_users_per_s": ev_s, "mfu": fl / epoch_s / PEAK_FLOPS}
+
+
+def _synthetic_kg_scaled(n_users=20000, n_items=15000, n_ents=30000,
+                         n_rels=20, n_cf=200000, n_trip=150000, seed=0):
+    rng = np.random.default_rng(seed)
+    users = rng.integers(0, n_users, n_cf + n_users)
+    users[:n_users] = np.arange(n_users)
+    items = rng.integers(0, n_items, n_cf + n_users)
+    train_cf = np.unique(np.stack([users, items], 1), axis=0)
+    tu = rng.integers(0, n_users, 20000)
+    ti = rng.integers(0, n_items, 20000)
+    test_cf = np.unique(np.stack([tu, ti], 1), axis=0)
+    raw = np.stack([rng.integers(0, n_ents, n_trip),
+                    rng.integers(0, n_rels, n_trip),
+                    rng.integers(0, n_ents, n_trip)], 1)
+    raw[: n_ents, 0] = np.arange(n_ents)
+    can = np.unique(raw, axis=0)
+    inv = can.copy()
+    inv[:, 0], inv[:, 2] = can[:, 2], can[:, 0]
+    inv[:, 1] = can[:, 1] + can[:, 1].max() + 1
+    can = can.copy()
+    can[:, 1] += 1
+    inv[:, 1] += 1
+    trip = np.concatenate([can, inv])
+    return (train_cf.astype(np.int64), test_cf.astype(np.int64), trip,
+            int(max(trip[:, 0].max(), trip[:, 2].max()) + 1),
+            int(trip[:, 1].max() + 1))
+
+
+def bench_kgcl():
+    from sslrec_tpu.config import load_config
+    from sslrec_tpu.data import kg as kg_data
+
+    train_cf, test_cf, trip, n_ent, n_rel = _synthetic_kg_scaled()
+    cfg = load_config("kgcl")
+    data = kg_data.bundle_from_kg(cfg, train_cf, test_cf, trip, n_ent, n_rel)
+    epoch_s, ex_s, ev_s = _throughput(cfg, data)
+    d = int(cfg.model.embedding_size)
+    n_batches = -(-data.n_train // int(cfg.train.batch_size))
+    # RGAT over KG triples (fwd+dx) + 2 UI views + clean propagation
+    ui_nnz = 2 * len(train_cf)
+    fl = _edge_flops_per_epoch(len(trip) + 3 * ui_nnz, d,
+                               1, n_batches, spmm_apps_per_step=2)
+    return {"epoch_s": epoch_s, "train_examples_per_s": ex_s,
+            "eval_users_per_s": ev_s, "mfu": fl / epoch_s / PEAK_FLOPS}
+
+
+def bench_cml():
+    from sslrec_tpu.config import load_config
+    from sslrec_tpu.data.registry import load_data
+
+    cfg = load_config("cml", dataset="retail_rocket")
+    data = load_data(cfg)
+    epoch_s, ex_s, ev_s = _throughput(cfg, data)
+    d = int(cfg.model.embedding_size)
+    nnz = sum(int(m.nnz)
+              for m in data.extras.get("behavior_mats_scipy", [])) or data.n_train
+    n_batches = -(-data.n_train // int(cfg.train.batch_size))
+    # 3 meta rounds × per-behavior propagation (fwd + dx)
+    fl = _edge_flops_per_epoch(nnz, d, int(cfg.model.get("layer_num", 2)),
+                               n_batches, spmm_apps_per_step=3 * 2 * 2)
+    return {"epoch_s": epoch_s, "train_examples_per_s": ex_s,
+            "eval_users_per_s": ev_s, "mfu": fl / epoch_s / PEAK_FLOPS}
+
+
+BENCHES = {
+    "lightgcn": bench_lightgcn,
+    "sgl": bench_sgl,
+    "bert4rec": bench_bert4rec,
+    "kgcl": bench_kgcl,
+    "cml": bench_cml,
+}
+
+
+def main():
+    sel = os.environ.get("SSLREC_BENCH_MODELS", "")
+    names = [n for n in sel.split(",") if n] or list(BENCHES)
+    suite = {}
+    for name in names:
+        try:
+            r = BENCHES[name]()
+            suite[name] = {k: (round(v, 4) if k == "mfu" else round(v, 2))
+                           for k, v in r.items()}
+        except Exception as e:  # a broken entry must not kill the headline
+            suite[name] = {"error": repr(e)[:200]}
+    head = suite.get("lightgcn", {}).get("train_examples_per_s", 0.0)
+    print(json.dumps({
+        "metric": "lightgcn_yelp_train_throughput",
+        "value": round(head, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(head / BASELINE_EXAMPLES_PER_S, 3),
+        "suite": suite,
+        "mfu_note": "edge-FLOPs / 197e12 (v5e bf16 peak); HBM-bound workload",
+    }))
 
 
 if __name__ == "__main__":
