@@ -89,11 +89,12 @@ def load(cfg) -> DataBundle:
     val_path = os.path.join(d, "valid_mat.pkl")
     val = load_one_mat(val_path) if os.path.exists(val_path) else None
     # Pallas spmm defaults ON for the scan-refactored family: all their hops
-    # and views share ONE kernel instance per program (ops/spmm.spmm_layers),
-    # which removed the per-call-site Mosaic compile blowup (SGL: >30 min in
-    # round 1 → 75 s compile+first-epoch, then ~2x faster epochs than XLA).
-    # Models still using python-loop propagation (HCCF, LightGCL, DCCF, AutoCF,
-    # GFormer, AdaGCL) stay opt-in until refactored.
-    scanned_family = ("lightgcn", "sgl", "simgcl", "ncl", "directau")
+    # and views share ONE (or a few) kernel instances per program
+    # (ops/spmm.spmm_layers / model-local lax.scan), which removed the
+    # per-call-site Mosaic compile blowup (SGL: >30 min in round 1 → 75 s
+    # compile+first-epoch, then ~2x faster epochs than XLA).  LightGCL/DCCF
+    # build their own graphs and default on in their constructors; python-loop
+    # models (AutoCF, GFormer, AdaGCL) stay opt-in until refactored.
+    scanned_family = ("lightgcn", "sgl", "simgcl", "ncl", "directau", "hccf")
     use_pallas = cfg.model.get("use_pallas", cfg.model.name in scanned_family)
     return bundle_from_matrices(trn, val, tst, use_pallas)

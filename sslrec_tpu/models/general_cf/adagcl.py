@@ -64,6 +64,16 @@ class AdaGCL(RecModel):
         self.norm_vals = jnp.asarray(bi.data[order].astype(np.float32))
         self.n_nodes = self.user_num + self.item_num
         self.nnz = int(bi.nnz)
+        # all-one structure graph so every propagation can route through the
+        # Pallas kernel as spmm(ones, x, edge_weight=vals).  Opt-in here: the
+        # three-phase step still carries ~10 kernel instances (the DN gate
+        # loops have per-layer parameters and resist scanning).
+        import scipy.sparse as sp
+        from sslrec_tpu.ops.pallas_spmm import maybe_pallas
+        ones = sp.coo_matrix((np.ones(self.nnz, np.float32),
+                              (bi.row[order], bi.col[order])),
+                             shape=(self.n_nodes, self.n_nodes))
+        self.adj_ones = maybe_pallas(ones, cfg.model.get("use_pallas", None))
 
         lr = float(cfg.optimizer.lr)
         wd = float(cfg.optimizer.get("weight_decay", 0) or 0)
@@ -96,16 +106,18 @@ class AdaGCL(RecModel):
 
     # -- propagation over a value vector ------------------------------------
     def _spmm(self, vals, x):
-        return segment_sum(x[self.cols] * vals[:, None], self.rows,
-                           self.n_nodes, sorted_ids=True)
+        from sslrec_tpu.ops.spmm import spmm
+        return spmm(self.adj_ones, x, edge_weight=vals)
 
     def _forward(self, rec, vals):
         embeds = jnp.concatenate([rec["user_embeds"], rec["item_embeds"]], 0)
-        acc = embeds
-        for _ in range(self.layer_num):
-            embeds = self._spmm(vals, embeds)
-            acc = acc + embeds
-        return acc
+
+        def hop(x, _):
+            y = self._spmm(vals, x)
+            return y, y
+
+        _, ys = jax.lax.scan(hop, embeds, None, length=self.layer_num)
+        return embeds + jnp.sum(ys, axis=0)
 
     # -- VGAE ----------------------------------------------------------------
     def _vgae_encode(self, params, key):

@@ -62,6 +62,13 @@ class AutoCF(RecModel):
         self.norm_vals = jnp.asarray(bi.data[order].astype(np.float32))
         self.n_nodes = n
         self.nnz = int(bi.nnz)
+        # all-one structure graph: every propagation is spmm(ones-graph, x,
+        # edge_weight=vals), so the Pallas kernel serves dynamic value vectors
+        import scipy.sparse as sp
+        from sslrec_tpu.ops.pallas_spmm import maybe_pallas
+        ones = sp.coo_matrix((np.ones(self.nnz, np.float32),
+                              (bi.row[order], bi.col[order])), shape=(n, n))
+        self.adj_ones = maybe_pallas(ones, cfg.model.get("use_pallas", True))
 
     def init_params(self, key):
         ks = jax.random.split(key, 2 + 3 * self.gt_layer)
@@ -78,11 +85,14 @@ class AutoCF(RecModel):
 
     # -- spmm over the (possibly masked) structure ---------------------------
     def _spmm_vals(self, vals, x):
-        contrib = x[self.cols] * vals[:, None]
-        return segment_sum(contrib, self.rows, self.n_nodes, sorted_ids=True)
+        from sslrec_tpu.ops.spmm import spmm
+        return spmm(self.adj_ones, x, edge_weight=vals)
 
     def _allone_spmm(self, x):
-        return self._spmm_vals(jnp.ones((self.nnz,), x.dtype), x)
+        # cold path (per-epoch view bank only): keep the XLA segment-sum so the
+        # views program carries no extra Pallas instances (incl. a d=1 call)
+        contrib = x[self.cols]
+        return segment_sum(contrib, self.rows, self.n_nodes, sorted_ids=True)
 
     # -- LocalGraph scores (differentiable) ---------------------------------
     def _seed_scores(self, params, key):
@@ -160,9 +170,13 @@ class AutoCF(RecModel):
 
     def forward(self, params, enc_vals, dec=None):
         embeds = jnp.concatenate([params["user_embeds"], params["item_embeds"]], 0)
-        acc = [embeds]
-        for _ in range(self.gcn_layer):
-            acc.append(self._spmm_vals(enc_vals, acc[-1]))
+
+        def hop(x, _):
+            y = self._spmm_vals(enc_vals, x)
+            return y, y
+
+        _, ys = jax.lax.scan(hop, embeds, None, length=self.gcn_layer)
+        acc = [embeds] + [ys[i] for i in range(self.gcn_layer)]
         if dec is not None:
             rows, cols, valid = dec
             for p in params["gt"]:

@@ -45,8 +45,9 @@ class DCCF(RecModel):
                               shape=(n, n)).tocsr().tocoo()
         norm = sparse_ops.normalize_adj_sym(plain, eps=0.0)
         # same (row-sorted) edge order for both: build from the same csr
-        self.plain_adj = maybe_pallas(plain)
-        self.norm_adj = maybe_pallas(norm)
+        use = cfg.model.get("use_pallas", True)  # scanned loop: few kernel instances
+        self.plain_adj = maybe_pallas(plain, use)
+        self.norm_adj = maybe_pallas(norm, use)
 
     def init_params(self, key):
         k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -60,10 +61,11 @@ class DCCF(RecModel):
 
     def forward(self, params):
         u = self.user_num
-        all_embeds = [jnp.concatenate([params["user_embeds"], params["item_embeds"]], 0)]
-        gnn_list, int_list, gaa_list, iaa_list = [], [], [], []
-        for _ in range(self.layer_num):
-            prev = all_embeds[-1]
+        embeds0 = jnp.concatenate([params["user_embeds"], params["item_embeds"]], 0)
+
+        # scanned layer loop: 3 spmm instances total (norm_adj + 2×plain_adj)
+        # instead of 3 per layer
+        def layer(prev, _):
             gnn = spmm(self.norm_adj, prev)
             u_int = jax.nn.softmax(prev[:u] @ params["user_intent"], axis=1) \
                 @ params["user_intent"].T
@@ -74,12 +76,23 @@ class DCCF(RecModel):
             iaa_vals = augment.adaptive_mask(self.plain_adj, intent, intent)
             gaa = spmm(self.plain_adj, prev, edge_weight=gaa_vals)
             iaa = spmm(self.plain_adj, prev, edge_weight=iaa_vals)
-            gnn_list.append(gnn)
-            int_list.append(intent)
-            gaa_list.append(gaa)
-            iaa_list.append(iaa)
-            all_embeds.append(gnn + intent + gaa + iaa + prev)
-        final = sum(all_embeds)
+            return gnn + intent + gaa + iaa + prev, (gnn, intent, gaa, iaa)
+
+        _, (gnn, intent, gaa, iaa) = jax.lax.scan(
+            layer, embeds0, None, length=self.layer_num)
+        L = self.layer_num
+        # sum of all layer states: e0 + Σ_l e_l where e_l = prev + increments —
+        # expand: Σ_l (L - l) · increment_l  ... keep the exact original sum by
+        # reconstructing the per-layer cumulative states instead
+        states = embeds0
+        final = embeds0
+        for l in range(L):
+            states = gnn[l] + intent[l] + gaa[l] + iaa[l] + states
+            final = final + states
+        gnn_list = [gnn[l] for l in range(L)]
+        int_list = [intent[l] for l in range(L)]
+        gaa_list = [gaa[l] for l in range(L)]
+        iaa_list = [iaa[l] for l in range(L)]
         return final[:u], final[u:], gnn_list, int_list, gaa_list, iaa_list
 
     def _cl_loss(self, users, items, gnn_list, int_list, gaa_list, iaa_list):

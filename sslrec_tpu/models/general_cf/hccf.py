@@ -52,22 +52,27 @@ class HCCF(RecModel):
 
     def forward(self, params, key, keep_rate):
         embeds = jnp.concatenate([params["user_embeds"], params["item_embeds"]], axis=0)
-        embeds_list = [embeds]
-        gcn_list, hyper_list = [], []
         uu_hyper = params["user_embeds"] @ params["user_hyper"] * self.mult
         ii_hyper = params["item_embeds"] @ params["item_hyper"] * self.mult
-        for _ in range(self.layer_num):
-            key, ke, ku, ki = jax.random.split(key, 4)
+
+        # scanned layer loop: one spmm (and one Pallas kernel) instance total
+        def layer(prev, k):
+            ke, ku, ki = jax.random.split(k, 3)
             ew = augment.edge_drop_mask(ke, self.adj.nnz, keep_rate, resize_val=True)
-            tem = spmm(self.adj, embeds_list[-1], edge_weight=ew)
+            tem = spmm(self.adj, prev, edge_weight=ew)
             hyper_u = self._hgnn(augment.embed_dropout(ku, uu_hyper, 1 - keep_rate),
-                                 embeds_list[-1][: self.user_num])
+                                 prev[: self.user_num])
             hyper_i = self._hgnn(augment.embed_dropout(ki, ii_hyper, 1 - keep_rate),
-                                 embeds_list[-1][self.user_num:])
-            gcn_list.append(tem)
-            hyper_list.append(jnp.concatenate([hyper_u, hyper_i], axis=0))
-            embeds_list.append(tem + hyper_list[-1])
-        return sum(embeds_list), gcn_list, hyper_list
+                                 prev[self.user_num:])
+            hyper = jnp.concatenate([hyper_u, hyper_i], axis=0)
+            return tem + hyper, (tem, hyper)
+
+        keys = jax.random.split(key, self.layer_num)
+        _, (gcn, hyper) = jax.lax.scan(layer, embeds, keys)
+        gcn_list = [gcn[i] for i in range(self.layer_num)]
+        hyper_list = [hyper[i] for i in range(self.layer_num)]
+        total = embeds + jnp.sum(gcn, axis=0) + jnp.sum(hyper, axis=0)
+        return total, gcn_list, hyper_list
 
     def loss(self, params, batch, key):
         ancs, poss, negs = batch["user"], batch["pos"], batch["neg"]

@@ -45,8 +45,9 @@ class LightGCL(RecModel):
         col_d = np.asarray(train_mat.sum(0)).squeeze()
         vals = train_mat.data / np.sqrt(row_d[train_mat.row] * col_d[train_mat.col])
         norm = sp.coo_matrix((vals, (train_mat.row, train_mat.col)), train_mat.shape)
-        self.adj = maybe_pallas(norm)
-        self.adj_t = maybe_pallas(norm.transpose().tocsr().tocoo())
+        use = cfg.model.get("use_pallas", True)  # scanned loop: few kernel instances
+        self.adj = maybe_pallas(norm, use)
+        self.adj_t = maybe_pallas(norm.transpose().tocsr().tocoo(), use)
 
         # one-shot randomized SVD (augment.svd_decompose ~ t.svd_lowrank)
         self.ut, self.vt, self.u_mul_s, self.v_mul_s = augment.svd_decompose(
@@ -63,25 +64,33 @@ class LightGCL(RecModel):
         }
 
     def forward(self, params, key, training):
-        e_u = [params["user_embeds"]]
-        e_i = [params["item_embeds"]]
-        g_u = [params["user_embeds"]]
-        g_i = [params["item_embeds"]]
-        for _ in range(self.layer_num):
+        drop = training and self.dropout > 0
+
+        # scanned layer loop: the two rectangular spmm directions appear once
+        # each (two kernel instances total, regardless of layer_num)
+        def layer(carry, k):
+            pu, pi = carry
             ew_u = ew_i = None
-            if training and self.dropout > 0:
-                key, k1, k2 = jax.random.split(key, 3)
+            if drop:
+                k1, k2 = jax.random.split(k)
                 ew_u = augment.edge_drop_mask(k1, self.adj.nnz, 1 - self.dropout,
                                               resize_val=True)
                 ew_i = augment.edge_drop_mask(k2, self.adj.nnz, 1 - self.dropout,
                                               resize_val=True)
-            z_u = spmm(self.adj, e_i[-1], edge_weight=ew_u)
-            z_i = spmm(self.adj_t, e_u[-1], edge_weight=ew_i)
-            g_u.append(self.u_mul_s @ (self.vt @ e_i[-1]))
-            g_i.append(self.v_mul_s @ (self.ut @ e_u[-1]))
-            e_u.append(z_u)
-            e_i.append(z_i)
-        return sum(e_u), sum(e_i), sum(g_u), sum(g_i)
+            z_u = spmm(self.adj, pi, edge_weight=ew_u)
+            z_i = spmm(self.adj_t, pu, edge_weight=ew_i)
+            gu = self.u_mul_s @ (self.vt @ pi)
+            gi = self.v_mul_s @ (self.ut @ pu)
+            return (z_u, z_i), (z_u, z_i, gu, gi)
+
+        keys = jax.random.split(key, self.layer_num)
+        _, (zu, zi, gu, gi) = jax.lax.scan(
+            layer, (params["user_embeds"], params["item_embeds"]), keys)
+        e_u = params["user_embeds"] + jnp.sum(zu, axis=0)
+        e_i = params["item_embeds"] + jnp.sum(zi, axis=0)
+        g_u = params["user_embeds"] + jnp.sum(gu, axis=0)
+        g_i = params["item_embeds"] + jnp.sum(gi, axis=0)
+        return e_u, e_i, g_u, g_i
 
     def loss(self, params, batch, key):
         ancs, poss, negs = batch["user"], batch["pos"], batch["neg"]

@@ -75,9 +75,12 @@ class ICLRec(SequentialModel):
                     seqs.reshape(-1, chunk, self.max_len))
                 enc = enc.reshape(-1, self.emb_size)[:n]
                 cents, _, _ = augment.kmeans(key, enc, self.num_clusters, iters=20)
-                cents = cents / jnp.sqrt(
+                # reference KMeans.query assigns by L2 against the RAW faiss
+                # centroids but returns the L2-normalised ones for the PCL
+                # contrast (iclrec.py:122-137) — keep both
+                cents_n = cents / jnp.sqrt(
                     jnp.sum(jnp.square(cents), -1, keepdims=True) + 1e-12)
-                return {"centroids": cents}
+                return {"centroids": cents_n, "centroids_raw": cents}
 
             self._cluster_fn = cluster_fn
         return self._cluster_fn(jax.lax.stop_gradient(params), key)
@@ -99,12 +102,15 @@ class ICLRec(SequentialModel):
         h2 = self._encode(params, k2, v2, deterministic=False, mean=True)
         cl = self.cl_weight * nce_loss(h1, h2, self.tau)
 
-        # prototype contrast: nearest centroid of the clean mean encoding
+        # prototype contrast: nearest RAW centroid of the clean mean encoding
+        # (reference queries the faiss index of unnormalised centroids), then
+        # contrast against the normalised centroid
         cents = batch["aux"]["centroids"]
+        raw = batch["aux"]["centroids_raw"]
         h_mean = jax.lax.stop_gradient(
             self._encode(params, k3, seqs, deterministic=True, mean=True))
         d2 = (jnp.sum(h_mean**2, 1, keepdims=True)
-              - 2 * h_mean @ cents.T + jnp.sum(cents**2, 1)[None, :])
+              - 2 * h_mean @ raw.T + jnp.sum(raw**2, 1)[None, :])
         intent = cents[jnp.argmin(d2, axis=1)]
         intent_cl = self.intent_cl_weight * 0.5 * (
             nce_loss(h1, intent, self.tau) + nce_loss(h2, intent, self.tau))
