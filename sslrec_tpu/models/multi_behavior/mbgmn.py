@@ -41,6 +41,7 @@ class MBGMN(RecModel):
         self.rank = int(m.rank)
         self.att_head = int(m.att_head)
         self.samp_num = int(m.sampNum)
+        self.trn_num = int(m.get("trnNum", 100))
         self.mult = float(m.mult)
         self.detach_pre = bool(m.get("detach_pre_loss", True))
         self.reg = float(cfg.train.get("reg", 1e-2))
@@ -77,6 +78,14 @@ class MBGMN(RecModel):
             "pred_fc5": linear_params(ks[13], 3 * d, d),
             "q": xavier_uniform(ks[14], (d, d)),
         }
+
+    def epoch_schedule(self, n_train, batch_size):
+        """Reference MBGMNTrainer draws ``trnNum`` users per epoch and steps in
+        ``batch_size`` chunks (trainer.py:1058-1062) — ceil(trnNum/bsz) steps of
+        min(bsz, trnNum) users, NOT one pass over the interactions.  With the
+        shipped trnNum=100 < batch 256 that is ONE optimizer step per epoch,
+        which is what keeps the detached-hinge reference near its init."""
+        return -(-self.trn_num // batch_size), min(batch_size, self.trn_num)
 
     def _act(self, x):
         return jax.nn.leaky_relu(x, self.slope)

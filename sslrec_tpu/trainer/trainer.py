@@ -72,7 +72,14 @@ class Trainer:
             self.optimizer = optax.chain(
                 optax.clip_by_global_norm(float(clip)), self.optimizer)
         self.batch_size = int(cfg.train.batch_size)
-        self.n_batches = -(-data.n_train // self.batch_size)
+        if hasattr(model, "epoch_schedule"):
+            # model-defined epoch length (e.g. MBGMN's trnNum-users-per-epoch
+            # schedule, reference trainer.py:1058-1062) instead of one pass
+            # over the training interactions
+            self.n_batches, self.batch_size = model.epoch_schedule(
+                data.n_train, self.batch_size)
+        else:
+            self.n_batches = -(-data.n_train // self.batch_size)
         # models with per-fix_steps view banks size them from the batch count
         model._n_batches_hint = self.n_batches
         self._epoch_fn = None
@@ -83,7 +90,8 @@ class Trainer:
         model, data, opt = self.model, self.data, self.optimizer
         mesh = self.mesh
         n_train, bsz, n_batches = data.n_train, self.batch_size, self.n_batches
-        pad = n_batches * bsz - n_train
+        rows = n_batches * bsz  # may be < n_train under a model epoch_schedule
+        pad = max(rows - n_train, 0)
         has_aux_state = hasattr(model, "epoch_state")
         # scenario handlers may provide extra per-interaction arrays (sequences,
         # behaviour ids, ...) beyond the default (user, pos) pair
@@ -105,7 +113,7 @@ class Trainer:
             perm = jax.random.permutation(pkey, n_train).astype(jnp.int32)
             if pad:
                 perm = jnp.concatenate([perm, perm[:pad]])
-            idx = perm.reshape(n_batches, bsz)
+            idx = perm[:rows].reshape(n_batches, bsz)
             sampled = {}
             if needs_neg:
                 sampled["neg"] = sample_negatives(
