@@ -108,22 +108,7 @@ class Trainer:
         # arrive traced so every grid-search trial shares ONE compiled epoch
         # program (baked-constant hyperparameters made each of NCL's 45 trials
         # a fresh multi-minute compile).
-        def epoch_fn(params, opt_state, key, aux_state, arrays, hparams):
-            pkey, nkey, xkey, skey = jax.random.split(key, 4)
-            perm = jax.random.permutation(pkey, n_train).astype(jnp.int32)
-            if pad:
-                perm = jnp.concatenate([perm, perm[:pad]])
-            idx = perm[:rows].reshape(n_batches, bsz)
-            sampled = {}
-            if needs_neg:
-                sampled["neg"] = sample_negatives(
-                    nkey, arrays["user"], data.train_edge_set,
-                    data.item_num, low=neg_low)
-            if hasattr(model, "extra_negatives"):
-                # model-specific auxiliary negative streams (e.g. DSL's social
-                # user negatives) — full-epoch arrays, sliced per batch below
-                sampled.update(model.extra_negatives(xkey, arrays))
-
+        def make_step(sampled, aux_state, arrays, hparams):
             def step(carry, inp):
                 params, opt_state = carry
                 bidx, bkey, step_idx = inp
@@ -156,14 +141,70 @@ class Trainer:
                 aux = dict(aux, loss=loss)
                 return (params, opt_state), aux
 
+            return step
+
+        def prologue(key, arrays):
+            pkey, nkey, xkey, skey = jax.random.split(key, 4)
+            perm = jax.random.permutation(pkey, n_train).astype(jnp.int32)
+            if pad:
+                perm = jnp.concatenate([perm, perm[:pad]])
+            idx = perm[:rows].reshape(n_batches, bsz)
+            sampled = {}
+            if needs_neg:
+                sampled["neg"] = sample_negatives(
+                    nkey, arrays["user"], data.train_edge_set,
+                    data.item_num, low=neg_low)
+            if hasattr(model, "extra_negatives"):
+                # model-specific auxiliary negative streams (e.g. DSL's social
+                # user negatives) — full-epoch arrays, sliced per batch below
+                sampled.update(model.extra_negatives(xkey, arrays))
             keys = jax.random.split(skey, n_batches)
             steps = jnp.arange(n_batches, dtype=jnp.int32)
+            return idx, keys, steps, sampled
+
+        chunk = int(self.cfg.train.get("scan_chunk", 0) or 0)
+        if not chunk or chunk >= n_batches:
+            def epoch_fn(params, opt_state, key, aux_state, arrays, hparams):
+                idx, keys, steps, sampled = prologue(key, arrays)
+                step = make_step(sampled, aux_state, arrays, hparams)
+                (params, opt_state), aux = lax.scan(step, (params, opt_state),
+                                                    (idx, keys, steps))
+                mean_aux = jax.tree.map(jnp.mean, aux)
+                return params, opt_state, mean_aux
+
+            return jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+        # train.scan_chunk: bound the length of each device call by scanning at
+        # most ``chunk`` steps per XLA program (the remote-execution transport
+        # kills executions that run too long in one call — MAERec's 363-step
+        # epoch at the shipped con_batch=2048 crashed the TPU worker).  The RNG
+        # streams are computed once in a prologue program, so the step sequence
+        # is bit-identical to the single-scan path.
+        prologue_j = jax.jit(prologue)
+
+        def run_chunk(params, opt_state, idx, keys, steps, sampled, aux_state,
+                      arrays, hparams):
+            step = make_step(sampled, aux_state, arrays, hparams)
             (params, opt_state), aux = lax.scan(step, (params, opt_state),
                                                 (idx, keys, steps))
-            mean_aux = jax.tree.map(jnp.mean, aux)
+            return params, opt_state, jax.tree.map(
+                lambda a: jnp.sum(a, axis=0), aux)
+
+        chunk_j = jax.jit(run_chunk, donate_argnums=(0, 1))
+
+        def epoch_fn(params, opt_state, key, aux_state, arrays, hparams):
+            idx, keys, steps, sampled = prologue_j(key, arrays)
+            sums = None
+            for s in range(0, n_batches, chunk):
+                e = min(s + chunk, n_batches)
+                params, opt_state, part = chunk_j(
+                    params, opt_state, idx[s:e], keys[s:e], steps[s:e],
+                    sampled, aux_state, arrays, hparams)
+                sums = part if sums is None else jax.tree.map(jnp.add, sums, part)
+            mean_aux = jax.tree.map(lambda x: x / n_batches, sums)
             return params, opt_state, mean_aux
 
-        return jax.jit(epoch_fn, donate_argnums=(0, 1))
+        return epoch_fn
 
     def train_epoch(self, params, opt_state, key, epoch: int):
         if self._epoch_fn is None:

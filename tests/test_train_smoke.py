@@ -99,6 +99,32 @@ def test_resume_roundtrip(tmp_path):
     trainer2.train(model.init_params(jax.random.PRNGKey(0)))
 
 
+def test_scan_chunk_matches_single_scan():
+    """train.scan_chunk splits the epoch into bounded-length device calls; the
+    RNG streams come from one prologue program so the step sequence (and hence
+    the resulting parameters) must match the single-scan path exactly."""
+    import jax.numpy as jnp
+    data = _make_bundle(7)
+    base = {
+        "train.epoch": 1, "train.batch_size": 64, "test.batch_size": 16,
+        "test.k": [5], "model.embedding_size": 8, "model.keep_rate": 1.0,
+    }
+    cfg_a = load_config("lightgcn", overrides=base)
+    cfg_b = load_config("lightgcn", overrides=dict(base, **{"train.scan_chunk": 3}))
+    model = build_model(cfg_a, data)
+    params0 = model.init_params(jax.random.PRNGKey(0))
+    outs = []
+    for cfg in (cfg_a, cfg_b):
+        tr = Trainer(cfg, model, data, logger=_SilentLogger())
+        p = jax.tree.map(jnp.copy, params0)
+        p, _, aux = tr.train_epoch(p, tr.optimizer.init(p), jax.random.PRNGKey(5), 0)
+        outs.append((p, aux))
+    (pa, aux_a), (pb, aux_b) = outs
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(float(aux_a["loss"]), float(aux_b["loss"]), atol=1e-6)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from sslrec_tpu.utils import checkpoint as ckpt
     data = _make_bundle(1)
