@@ -331,6 +331,38 @@ def install_dgl():
 
 
 # ---------------------------------------------------------------------------
+# faiss shim (ICLRec imports it at module level; tests pin centroids and
+# replace KMeans.query, so only the constructor surface is needed)
+# ---------------------------------------------------------------------------
+
+def install_faiss():
+    if "faiss" in sys.modules:
+        return
+
+    class _Clustering:
+        def __init__(self, d, k):
+            self.d, self.k = d, k
+            self.centroids = []
+
+        def train(self, x, index):  # pragma: no cover - tests pin centroids
+            raise NotImplementedError("faiss shim: inject centroids directly")
+
+    class _IndexFlatL2:
+        def __init__(self, d):
+            self.d = d
+
+        def search(self, x, k):  # pragma: no cover - tests replace query
+            raise NotImplementedError("faiss shim: replace KMeans.query")
+
+    faiss = types.ModuleType("faiss")
+    faiss._is_shim = True
+    faiss.Clustering = _Clustering
+    faiss.IndexFlatL2 = _IndexFlatL2
+    faiss.vector_to_array = lambda v: __import__("numpy").asarray(v)
+    sys.modules["faiss"] = faiss
+
+
+# ---------------------------------------------------------------------------
 # loader
 # ---------------------------------------------------------------------------
 
@@ -361,6 +393,7 @@ def load_ref(module: str):
     cfgs = install_configs()
     install_torch_scatter()
     install_dgl()
+    install_faiss()
     install_scipy_compat()
     install_cuda_noop()
     if REF_ROOT not in sys.path:

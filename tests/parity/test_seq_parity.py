@@ -121,6 +121,90 @@ def test_maerec_parity():
 
 
 # ---------------------------------------------------------------------------
+# ICLRec
+# ---------------------------------------------------------------------------
+
+def test_iclrec_parity(monkeypatch):
+    """Inject identical params/views/centroids into the reference ICLRec
+    (``models/sequential/iclrec.py:138-337``) and the JAX model; the three loss
+    components (binary CE rec, CL4SRec NCE, prototype PCL) must agree."""
+    train, test = synthetic_seqs(n_users=24, n_items=22, max_ln=7, seed=40)
+    cfg = load_config("iclrec", overrides={
+        "model.embedding_size": 16, "model.max_seq_len": 8,
+        "model.n_layers": 2, "model.n_heads": 2,
+        "model.num_intent_clusters": 6, "model.dropout_rate": 0.0,
+        "data.name": "synthetic"})
+    data = seq_data.bundle_from_seqs(cfg, train, test)
+    model = build_model(cfg, data)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    ref_mod, configs = load_ref("models.sequential.iclrec")
+    configs["data"].update({"user_num": data.user_num,
+                            "item_num": data.item_num})
+    configs["model"] = dict(cfg.model)
+    configs["train"].update({"batch_size": 12, "seed": 0})
+    ref = ref_mod.ICLRec(None)
+    with torch.no_grad():
+        ref.emb_layer.token_emb.weight.copy_(j2t(params["emb"]["token"]))
+        ref.emb_layer.position_emb.weight.copy_(j2t(params["emb"]["pos"]))
+        for i, lay in enumerate(ref.transformer_layers):
+            set_transformer_layer(lay, params["layers"][i])
+    ref.eval()
+
+    rng = np.random.default_rng(6)
+    seq_table = np.asarray(data.extras["train_arrays"]["seq"])[:12]
+    last = np.asarray(data.extras["train_arrays"]["pos"])[:12]
+    negs = rng.integers(1, data.item_num + 1, 12)
+
+    # pinned augmented views (the real augmentation is stochastic host/device
+    # RNG on either side; parity is over the loss math given identical views)
+    import sslrec_tpu.models.seq_augment as seq_aug
+    v1, v2 = seq_aug.cl4srec_two_views(jax.random.PRNGKey(3),
+                                       jnp.asarray(seq_table.astype(jnp.int32)),
+                                       model.mask_token, eta=0.2, gamma=0.7,
+                                       beta=0.2)
+    v1_np, v2_np = np.asarray(v1), np.asarray(v2)
+    monkeypatch.setattr(seq_aug, "cl4srec_two_views",
+                        lambda *a, **k: (jnp.asarray(v1_np), jnp.asarray(v2_np)))
+    monkeypatch.setattr(
+        ref, "_cl4srec_aug",
+        lambda seqs: (torch.from_numpy(v1_np.astype(np.int64)),
+                      torch.from_numpy(v2_np.astype(np.int64))))
+
+    # pinned centroids: raw for the L2 assignment (faiss index holds raw
+    # centroids), L2-normalised for the PCL contrast (iclrec.py:122-137)
+    cents_raw = rng.standard_normal((6, 16)).astype(np.float32)
+    cents_n = cents_raw / np.linalg.norm(cents_raw, axis=1, keepdims=True)
+    ref.cluster.centroids = torch.from_numpy(cents_n)
+
+    def ref_query(x):
+        d2 = ((x[:, None, :] - cents_raw[None, :, :]) ** 2).sum(-1)
+        ids = torch.from_numpy(np.argmin(d2, axis=1))
+        return ids, torch.from_numpy(cents_n)[ids]
+
+    monkeypatch.setattr(ref.cluster, "query", ref_query)
+
+    rloss, rparts = ref.cal_loss(
+        (None, torch.from_numpy(seq_table.astype(np.int64)),
+         torch.from_numpy(last.astype(np.int64)),
+         torch.from_numpy(negs.astype(np.int64))))
+
+    batch = {"seq": jnp.asarray(seq_table.astype(np.int32)),
+             "pos": jnp.asarray(last.astype(np.int32)),
+             "neg": jnp.asarray(negs.astype(np.int32)),
+             "aux": {"centroids": jnp.asarray(cents_n),
+                     "centroids_raw": jnp.asarray(cents_raw)}}
+    jloss, jparts = model.loss(params, batch, jax.random.PRNGKey(9))
+    assert_close(rparts["rec_loss"], jparts["rec_loss"], rtol=2e-3, atol=3e-4,
+                 what="ICLRec rec CE")
+    assert_close(rparts["cl_loss"], jparts["cl_loss"], rtol=2e-3, atol=3e-4,
+                 what="ICLRec CL4SRec NCE")
+    assert_close(rparts["intent_cl_loss"], jparts["intent_cl_loss"], rtol=2e-3,
+                 atol=3e-4, what="ICLRec prototype PCL")
+    assert_close(rloss, jloss, rtol=2e-3, atol=5e-4, what="ICLRec total loss")
+
+
+# ---------------------------------------------------------------------------
 # DCRec (sequential)
 # ---------------------------------------------------------------------------
 
