@@ -92,9 +92,10 @@ def load(cfg) -> DataBundle:
     # and views share ONE (or a few) kernel instances per program
     # (ops/spmm.spmm_layers / model-local lax.scan), which removed the
     # per-call-site Mosaic compile blowup (SGL: >30 min in round 1 → 75 s
-    # compile+first-epoch, then ~2x faster epochs than XLA).  LightGCL/DCCF
-    # build their own graphs and default on in their constructors; python-loop
-    # models (AutoCF, GFormer, AdaGCL) stay opt-in until refactored.
+    # compile+first-epoch, then ~2x faster epochs than XLA).  LightGCL/DCCF/
+    # AutoCF build their own graphs and default on in their constructors;
+    # AdaGCL (multi-instance three-phase step) and GFormer (matmul-dominated)
+    # stay opt-in.
     scanned_family = ("lightgcn", "sgl", "simgcl", "ncl", "directau", "hccf")
     use_pallas = cfg.model.get("use_pallas", cfg.model.name in scanned_family)
     return bundle_from_matrices(trn, val, tst, use_pallas)
