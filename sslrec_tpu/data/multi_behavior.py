@@ -64,10 +64,19 @@ def load(cfg) -> DataBundle:
     name = cfg.data.name
     # The reference snapshot omits the densest behavior matrix for tmall
     # (train_mat_pv.pkl) and ijcai_15 (train_mat_click.pkl) even though its own
-    # handler lists them (data_handler_multi_behavior.py:20-24) — fall back to
-    # the behaviors whose pickles actually exist.
-    behaviors = [b for b in BEHAVIORS[name]
-                 if os.path.exists(os.path.join(d, f"train_mat_{b}.pkl"))]
+    # handler lists them (data_handler_multi_behavior.py:20-24).  Only those
+    # two known-missing matrices may be skipped; anything else absent (above
+    # all the TARGET behavior, the last list entry) is a broken data dir and
+    # must fail loudly rather than silently retarget training.
+    _known_missing = {"tmall": {"pv"}, "ijcai_15": {"click"}}.get(name, set())
+    behaviors = []
+    for b in BEHAVIORS[name]:
+        path = os.path.join(d, f"train_mat_{b}.pkl")
+        if os.path.exists(path):
+            behaviors.append(b)
+        elif b not in _known_missing:
+            raise FileNotFoundError(
+                f"multi_behavior/{name}: required behavior matrix missing: {path}")
     mats = []
     for beh in behaviors:
         with open(os.path.join(d, f"train_mat_{beh}.pkl"), "rb") as f:

@@ -80,12 +80,20 @@ class MBGMN(RecModel):
         }
 
     def epoch_schedule(self, n_train, batch_size):
-        """Reference MBGMNTrainer draws ``trnNum`` users per epoch and steps in
-        ``batch_size`` chunks (trainer.py:1058-1062) — ceil(trnNum/bsz) steps of
-        min(bsz, trnNum) users, NOT one pass over the interactions.  With the
+        """Reference MBGMNTrainer draws ``trnNum`` random users per epoch and
+        steps in ``batch_size`` chunks with a partial final batch
+        (trainer.py:1058-1062) — NOT one pass over the interactions.  With the
         shipped trnNum=100 < batch 256 that is ONE optimizer step per epoch,
-        which is what keeps the detached-hinge reference near its init."""
-        return -(-self.trn_num // batch_size), min(batch_size, self.trn_num)
+        which is what keeps the detached-hinge reference near its init.
+
+        Static shapes forbid a ragged final batch, so the ``trnNum`` users are
+        split evenly: ceil(trnNum/bsz) steps of ceil(trnNum/n_steps) users —
+        the same per-epoch user total (users are i.i.d. draws, so the split is
+        distributionally equivalent to the reference's bsz+remainder split).
+        Remaining deviation: users are drawn per step WITH replacement
+        (``loss``), not one epoch permutation — negligible for trnNum ≪ users."""
+        n_steps = -(-self.trn_num // batch_size)
+        return n_steps, -(-self.trn_num // n_steps)
 
     def _act(self, x):
         return jax.nn.leaky_relu(x, self.slope)

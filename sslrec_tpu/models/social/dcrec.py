@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from sslrec_tpu.models import losses
 from sslrec_tpu.models.base import RecModel
 from sslrec_tpu.models.multi_behavior.hmgcr import grace_loss
-from sslrec_tpu.ops.spmm import spmm
+from sslrec_tpu.ops.spmm import spmm_layers
 from sslrec_tpu.utils.initializers import apply_linear, linear_params, xavier_uniform
 
 EDGE_ADD, EDGE_DROP, NODE_DROP = 0, 1, 2
@@ -110,11 +110,9 @@ class DcRec(RecModel):
     def _lightgcn_base(self, params):
         embeds = jnp.concatenate(
             [params["ui_user_embeds"], params["ui_item_embeds"]], 0)
-        acc = embeds
-        for _ in range(self.layer_num):
-            embeds = spmm(self.adj, embeds)
-            acc = acc + embeds
-        acc = acc / (self.layer_num + 1)
+        # scanned hops: one spmm instance shared by loss + generate call sites
+        ys = spmm_layers(self.adj, embeds, self.layer_num)
+        acc = (embeds + ys.sum(0)) / (self.layer_num + 1)
         return acc[: self.user_num], acc[self.user_num:]
 
     def _lightgcn_view(self, params, w, add_r, add_c, add_w):

@@ -113,6 +113,11 @@ def maybe_distributed_init(cfg=None) -> bool:
         return False
     kwargs = {}
     if coord:
+        if n_proc is None or proc_id is None:
+            raise ValueError(
+                "distributed init: a coordinator address requires num_processes "
+                "and process_id (SSLREC_NUM_PROCESSES / SSLREC_PROCESS_ID or "
+                "train.distributed.{num_processes,process_id})")
         kwargs = {"coordinator_address": coord,
                   "num_processes": int(n_proc),
                   "process_id": int(proc_id)}

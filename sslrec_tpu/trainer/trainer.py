@@ -182,11 +182,26 @@ class Trainer:
         # is bit-identical to the single-scan path.
         prologue_j = jax.jit(prologue)
 
-        def run_chunk(params, opt_state, idx, keys, steps, sampled, aux_state,
-                      arrays, hparams):
+        # every chunk runs at exactly ``chunk`` steps — the ragged tail is
+        # padded with steps whose parameter updates and aux are discarded via
+        # a validity mask, so the whole epoch reuses ONE compiled chunk program
+        # (a second full compile for the tail length would defeat the feature
+        # in precisely the slow-compile environments it exists for)
+        def run_chunk(params, opt_state, idx, keys, steps, valid, sampled,
+                      aux_state, arrays, hparams):
             step = make_step(sampled, aux_state, arrays, hparams)
-            (params, opt_state), aux = lax.scan(step, (params, opt_state),
-                                                (idx, keys, steps))
+
+            def gstep(carry, inp):
+                idx_i, key_i, step_i, valid_i = inp
+                new_carry, aux = step(carry, (idx_i, key_i, step_i))
+                carry = jax.tree.map(
+                    lambda n, o: jnp.where(valid_i, n, o), new_carry, carry)
+                aux = jax.tree.map(
+                    lambda a: jnp.where(valid_i, a, jnp.zeros_like(a)), aux)
+                return carry, aux
+
+            (params, opt_state), aux = lax.scan(gstep, (params, opt_state),
+                                                (idx, keys, steps, valid))
             return params, opt_state, jax.tree.map(
                 lambda a: jnp.sum(a, axis=0), aux)
 
@@ -194,12 +209,18 @@ class Trainer:
 
         def epoch_fn(params, opt_state, key, aux_state, arrays, hparams):
             idx, keys, steps, sampled = prologue_j(key, arrays)
+            pad = (-n_batches) % chunk
+            valid = jnp.arange(n_batches + pad, dtype=jnp.int32) < n_batches
+            if pad:  # pad < chunk <= n_batches, so reusing the head is in-range
+                idx = jnp.concatenate([idx, idx[:pad]])
+                keys = jnp.concatenate([keys, keys[:pad]])
+                steps = jnp.concatenate([steps, steps[:pad]])
             sums = None
-            for s in range(0, n_batches, chunk):
-                e = min(s + chunk, n_batches)
+            for s in range(0, n_batches + pad, chunk):
+                e = s + chunk
                 params, opt_state, part = chunk_j(
                     params, opt_state, idx[s:e], keys[s:e], steps[s:e],
-                    sampled, aux_state, arrays, hparams)
+                    valid[s:e], sampled, aux_state, arrays, hparams)
                 sums = part if sums is None else jax.tree.map(jnp.add, sums, part)
             mean_aux = jax.tree.map(lambda x: x / n_batches, sums)
             return params, opt_state, mean_aux
