@@ -131,3 +131,19 @@ def test_mesh_params_actually_sharded():
     placed = jax.device_put(params, sh)
     shard_shapes = {s.data.shape for s in placed["user_embeds"].addressable_shards}
     assert shard_shapes == {(data.user_num // 2, 8)}
+
+
+def test_distributed_init_requires_full_spec(monkeypatch):
+    """A coordinator without num_processes/process_id must fail with a clear
+    error, not TypeError int(None)."""
+    import pytest
+    from sslrec_tpu.parallel import mesh as mesh_mod
+
+    for var in ("SSLREC_NUM_PROCESSES", "SSLREC_PROCESS_ID",
+                "SSLREC_DISTRIBUTED"):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setattr(mesh_mod, "_DIST_INITIALIZED", False)
+    monkeypatch.setenv("SSLREC_COORDINATOR", "host0:1234")
+    with pytest.raises(ValueError, match="num_processes"):
+        mesh_mod.maybe_distributed_init(load_config("lightgcn"))
+    monkeypatch.setattr(mesh_mod, "_DIST_INITIALIZED", False)

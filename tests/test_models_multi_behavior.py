@@ -79,3 +79,25 @@ def test_mb_model_trains(name):
     res = Evaluator(model, data.test, cfg)(params)
     for m, vals in res.items():
         assert np.isfinite(vals).all(), (name, m, vals)
+
+
+def test_loader_rejects_missing_required_behavior(tmp_path, monkeypatch):
+    """Only the two known-missing dense matrices (tmall pv / ijcai click) may
+    be absent; any other missing behavior pickle must raise, not silently
+    retarget training (data/multi_behavior.py load)."""
+    import pickle
+    import pytest
+    import scipy.sparse as sp
+    from sslrec_tpu.config import load_config
+    from sslrec_tpu.data import multi_behavior as mb_data
+
+    d = tmp_path / "multi_behavior" / "retail_rocket"
+    d.mkdir(parents=True)
+    m = sp.coo_matrix(np.ones((4, 5), np.float32))
+    for name in ("train_mat_view", "train_mat_cart", "test_mat"):
+        with open(d / f"{name}.pkl", "wb") as f:
+            pickle.dump(m, f)  # train_mat_buy.pkl (the target) is missing
+    cfg = load_config("smbrec", dataset="retail_rocket",
+                      overrides={"data.dir": str(tmp_path)})
+    with pytest.raises(FileNotFoundError, match="train_mat_buy"):
+        mb_data.load(cfg)
