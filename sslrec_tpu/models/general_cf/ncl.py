@@ -40,12 +40,15 @@ class NCL(LightGCN):
             return {"user_centroids": ucent, "user2cluster": u2c,
                     "item_centroids": icent, "item2cluster": i2c}
 
-        self._cluster_fn = _cluster
+        # pure refresh fn + period exposed separately so the vmapped tuner can
+        # batch the re-clustering across trials (tuner.py::vmapped_grid_search)
+        self.epoch_state_fn = _cluster
+        self.epoch_state_period = self.epoch_period
 
     # trainer hook: refresh prototypes every epoch_period epochs
     def epoch_state(self, params, key, epoch):
         if self._cluster_cache is None or epoch % self.epoch_period == 0:
-            self._cluster_cache = self._cluster_fn(params, key)
+            self._cluster_cache = self.epoch_state_fn(params, key)
         return self._cluster_cache
 
     def _propagate_list(self, params):

@@ -3,11 +3,26 @@
 Parity with ``trainer/tuner.py:6-53``: exhaustive product over the lists in
 ``cfg.tune``, re-seeding and rebuilding the model per trial.  Functional config
 means no mutate/restore dance — each trial gets its own frozen config.
+
+TPU extension (no reference counterpart): ``tune.parallel: K`` runs K trials
+*simultaneously* in one compiled program by ``jax.vmap``-ing the whole epoch
+function and evaluator over stacked (params, opt_state, hparams).  The grid's
+hyperparameters must all be traced scalars exposed by the model's ``hparams()``
+hook (e.g. NCL); anything else falls back to the serial loop.  Per-trial
+semantics are exact: every trial sees the reference key sequence (same seed →
+same data order / negatives), keeps its own best-on-valid snapshot, and its
+reported result freezes once its own patience is exhausted — trials that
+stopped keep training as dead weight until all are done, which costs FLOPs but
+buys a K× reduction in wall-clock and compile count.
 """
 
 from __future__ import annotations
 
 import itertools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
 
 from sslrec_tpu.models.registry import build_model
 from sslrec_tpu.trainer.trainer import Trainer
@@ -23,6 +38,17 @@ def trial_configs(cfg):
 
 
 def grid_search(cfg, data, logger):
+    n_parallel = int(cfg.tune.get("parallel", 0) or 0)
+    if n_parallel > 1:
+        best = vmapped_grid_search(cfg, data, logger, n_parallel)
+        if best is not None:
+            return best
+        logger.log("tune.parallel unsupported for this model/config; "
+                   "falling back to serial grid search")
+    return _serial_grid_search(cfg, data, logger)
+
+
+def _serial_grid_search(cfg, data, logger):
     best = None
     metric0 = cfg.test.metrics[0]
     for trial_cfg, assignment in trial_configs(cfg):
@@ -36,3 +62,136 @@ def grid_search(cfg, data, logger):
             best = (score, assignment)
     logger.log(f"tune best: {best[1]} ({metric0}@{cfg.test.k[0]}={best[0]:.5f})")
     return best
+
+
+def _stack(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def vmapped_grid_search(cfg, data, logger, n_parallel):
+    """K-trials-at-once grid search; returns (score, assignment) or None if the
+    grid cannot be vmapped (caller then falls back to the serial loop)."""
+    from sslrec_tpu.trainer.metrics import Evaluator
+
+    trials = list(trial_configs(cfg))
+    if not trials:
+        return None
+    tuned = set(cfg.tune.get("hyperparameters", ()))
+    probe = build_model(trials[0][0], data)
+    if (not hasattr(probe, "hparams")
+            or not tuned <= set(probe.hparams())
+            or (getattr(probe, "train_trans", False) and hasattr(probe, "kg_loss"))
+            or (hasattr(probe, "epoch_state")
+                and not hasattr(probe, "epoch_state_fn"))
+            or cfg.train.get("mesh")):
+        return None
+
+    metric0 = cfg.test.metrics[0]
+    k0 = int(cfg.test.k[0])
+    n_trials = len(trials)
+    logger.log(f"tune: vmapped grid search, {n_trials} trials x "
+               f"{n_parallel} per program")
+
+    results = []  # (test_score, assignment)
+    for lo in range(0, n_trials, n_parallel):
+        chunk = trials[lo:lo + n_parallel]
+        real = len(chunk)
+        # pad the tail chunk by repeating its last trial so every chunk runs at
+        # the same K and reuses ONE compiled program; padded lanes are dropped
+        chunk = chunk + [chunk[-1]] * (n_parallel - real)
+        scores = _run_vmapped_chunk(cfg, data, logger, chunk, probe, Evaluator)
+        for i in range(real):
+            assignment = chunk[i][1]
+            score = float(scores[i])
+            logger.log(f"tune trial {assignment} -> {metric0}@{k0} = {score:.5f}")
+            results.append((score, assignment))
+
+    best = max(results, key=lambda t: t[0])
+    logger.log(f"tune best: {best[1]} ({metric0}@{k0}={best[0]:.5f})")
+    return best
+
+
+def _run_vmapped_chunk(cfg, data, logger, chunk, probe, Evaluator):
+    """Train K stacked trials to completion; returns per-trial test scores."""
+    K = len(chunk)
+    models = [build_model(tc, data) for tc, _ in chunk]
+    hp = _stack([m.hparams() for m in models])
+
+    trainer = Trainer(chunk[0][0], probe, data, logger=_Silent())
+    epoch_fn = trainer._build_epoch_fn()  # (params, opt, key, aux, arrays, hp)
+    arrays = trainer._train_arrays
+
+    # reference tuner re-seeds identically per trial (trainer/tuner.py:33):
+    # every lane starts from the same init and consumes the same key sequence
+    seed = int(cfg.train.seed)
+    key = jax.random.PRNGKey(seed)
+    key, init_key = jax.random.split(key)
+    params0 = probe.init_params(init_key)
+    params = jax.tree.map(lambda x: jnp.stack([x] * K), params0)
+    if hasattr(probe, "init_opt_state"):
+        opt_state = jax.vmap(probe.init_opt_state)(params)
+    else:
+        opt_state = jax.vmap(trainer.optimizer.init)(params)
+
+    has_aux = hasattr(probe, "epoch_state")
+    aux_axes = 0 if has_aux else None
+    vm_epoch = jax.jit(jax.vmap(epoch_fn, in_axes=(0, 0, None, aux_axes, None, 0)),
+                       donate_argnums=(0, 1))
+    if has_aux:
+        vm_aux = jax.jit(jax.vmap(probe.epoch_state_fn, in_axes=(0, None)))
+        period = int(getattr(probe, "epoch_state_period", 1) or 1)
+
+    eval_split = data.valid if data.valid is not None else data.test
+    evaluator = Evaluator(probe, eval_split, cfg)
+    test_evaluator = Evaluator(probe, data.test, cfg)
+    vm_eval = jax.jit(jax.vmap(evaluator._eval_all))
+    vm_test = jax.jit(jax.vmap(test_evaluator._eval_all))
+    denom = float(eval_split.n_test_users)
+
+    metric0 = cfg.test.metrics[0]
+    patience = int(cfg.train.get("patience", 0) or 0)
+    early_stop = bool(cfg.train.get("early_stop", False))
+    test_step = int(cfg.train.get("test_step", 1))
+    n_epochs = int(cfg.train.epoch)
+
+    best = np.full((K,), -1.0)
+    wait = np.zeros((K,), np.int32)
+    stopped = np.zeros((K,), bool)
+    best_params = jax.tree.map(jnp.copy, params)
+    aux_state = None
+    for epoch in range(n_epochs):
+        key, ekey = jax.random.split(key)
+        if has_aux and (aux_state is None or epoch % period == 0):
+            aux_state = vm_aux(params, ekey)
+        params, opt_state, _ = vm_epoch(params, opt_state, ekey, aux_state,
+                                        arrays, hp)
+        if epoch % test_step != 0:
+            continue
+        sums = jax.device_get(vm_eval(params))
+        cur = sums[metric0][:, 0] / denom                      # [K]
+        improved = (cur > best) & ~stopped
+        best = np.where(improved, cur, best)
+        imp = jnp.asarray(improved)
+        best_params = jax.tree.map(
+            lambda b, p: jnp.where(imp.reshape((K,) + (1,) * (p.ndim - 1)), p, b),
+            best_params, params)
+        wait = np.where(improved, 0, wait + 1)
+        if early_stop:
+            newly = ~stopped & (wait >= patience)
+            stopped |= newly
+            if newly.any():
+                logger.log(f"tune epoch {epoch}: lanes {np.nonzero(newly)[0].tolist()} "
+                           f"hit patience (active {int((~stopped).sum())}/{K})")
+            if stopped.all():
+                break
+
+    test_sums = jax.device_get(vm_test(best_params))
+    return test_sums[metric0][:, 0] / float(data.test.n_test_users)
+
+
+class _Silent:
+    def log(self, *a, **k):
+        pass
+
+    log_loss = log
+    log_eval = log

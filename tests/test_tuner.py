@@ -53,3 +53,49 @@ def test_grid_search_runs_and_picks_best():
     assert np.isfinite(score) and score >= 0
     assert set(assignment) == {"layer_num", "reg_weight"}
     assert any("tune best" in ln for ln in logger.lines)
+
+
+def _parse_trial_scores(lines):
+    out = {}
+    for ln in lines:
+        if ln.startswith("tune trial {") and "->" in ln:
+            a, s = ln.split("->")
+            out[a.replace("tune trial ", "").strip()] = float(s.split("=")[-1])
+    return out
+
+
+def test_vmapped_grid_search_matches_serial():
+    """tune.parallel=K runs K trials in one vmapped program with per-trial
+    scores matching the serial loop (same seed → same key sequence)."""
+    data = _make_bundle(3)
+    base = {
+        "train.epoch": 4, "train.batch_size": 128, "train.test_step": 1,
+        "train.patience": 2, "test.batch_size": 16, "test.k": [5],
+        "model.embedding_size": 8, "model.cluster_num": 4,
+        "model.epoch_period": 2, "model.layer_num": 2, "model.high_order": 1,
+        "tune.enable": True,
+        "tune.hyperparameters": ["temperature", "proto_weight"],
+        "tune.temperature": [0.1, 1.0],
+        "tune.proto_weight": [1.0e-6, 1.0e-2],
+    }
+    slog, vlog = _RecordingLogger(), _RecordingLogger()
+    best_s = grid_search(load_config("ncl", overrides=base), data, slog)
+    # parallel=3 over 4 trials: exercises the padded tail chunk
+    best_v = grid_search(load_config("ncl", overrides={**base, "tune.parallel": 3}),
+                         data, vlog)
+    assert not any("falling back" in ln for ln in vlog.lines)
+    ser, par = _parse_trial_scores(slog.lines), _parse_trial_scores(vlog.lines)
+    assert set(ser) == set(par) and len(ser) == 4
+    for a in ser:
+        assert abs(ser[a] - par[a]) < 5e-3, (a, ser[a], par[a])
+    assert abs(best_s[0] - best_v[0]) < 5e-3
+
+
+def test_vmapped_grid_search_falls_back_without_hparams():
+    # lightgcn has no hparams() hook → tune.parallel must fall back to serial
+    cfg = _tune_cfg().replace(tune={"parallel": 2})
+    data = _make_bundle(5)
+    logger = _RecordingLogger()
+    score, assignment = grid_search(cfg, data, logger)
+    assert np.isfinite(score)
+    assert any("falling back" in ln for ln in logger.lines)
