@@ -31,6 +31,30 @@ def edge_drop_mask(key: jax.Array, nnz: int, keep_rate: float,
     return keep / keep_rate if resize_val else keep
 
 
+def edge_drop(key: jax.Array, g, keep_rate: float, resize_val: bool = False,
+              salts=0):
+    """Graph-aware edge dropout multiplier for :func:`ops.spmm.spmm`.
+
+    For a PallasGraph returns a :class:`PaddedEdgeWeight` — masks recomputed
+    per layout via a PRF of the edge id (no scalar gathers, see
+    ``ops/pallas_spmm.dropout_padded``).  For the XLA CooGraph path returns the
+    original-order ``[nnz]`` mask (or ``[len(salts), nnz]``).  Returns ``None``
+    when ``keep_rate >= 1`` (no-op).
+    """
+    from sslrec_tpu.ops.pallas_spmm import PallasGraph, dropout_padded
+
+    if keep_rate >= 1.0:
+        return None
+    if isinstance(g, PallasGraph):
+        return dropout_padded(key, g, keep_rate, salts=salts,
+                              resize_val=resize_val)
+    if jnp.ndim(salts) == 0:
+        return edge_drop_mask(key, g.nnz, keep_rate, resize_val)
+    keys = jax.random.split(key, int(jnp.shape(salts)[0]))
+    return jnp.stack([edge_drop_mask(k, g.nnz, keep_rate, resize_val)
+                      for k in keys])
+
+
 def node_drop(key: jax.Array, embeds: jnp.ndarray, keep_rate: float) -> jnp.ndarray:
     """Zero whole node rows with prob 1-keep_rate (``aug_utils.py:33-50``)."""
     if keep_rate >= 1.0:

@@ -58,7 +58,7 @@ class HCCF(RecModel):
         # scanned layer loop: one spmm (and one Pallas kernel) instance total
         def layer(prev, k):
             ke, ku, ki = jax.random.split(k, 3)
-            ew = augment.edge_drop_mask(ke, self.adj.nnz, keep_rate, resize_val=True)
+            ew = augment.edge_drop(ke, self.adj, keep_rate, resize_val=True)
             tem = spmm(self.adj, prev, edge_weight=ew)
             hyper_u = self._hgnn(augment.embed_dropout(ku, uu_hyper, 1 - keep_rate),
                                  prev[: self.user_num])

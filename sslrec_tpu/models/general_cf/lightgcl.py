@@ -73,10 +73,10 @@ class LightGCL(RecModel):
             ew_u = ew_i = None
             if drop:
                 k1, k2 = jax.random.split(k)
-                ew_u = augment.edge_drop_mask(k1, self.adj.nnz, 1 - self.dropout,
-                                              resize_val=True)
-                ew_i = augment.edge_drop_mask(k2, self.adj.nnz, 1 - self.dropout,
-                                              resize_val=True)
+                ew_u = augment.edge_drop(k1, self.adj, 1 - self.dropout,
+                                         resize_val=True)
+                ew_i = augment.edge_drop(k2, self.adj_t, 1 - self.dropout,
+                                         resize_val=True)
             z_u = spmm(self.adj, pi, edge_weight=ew_u)
             z_i = spmm(self.adj_t, pu, edge_weight=ew_i)
             gu = self.u_mul_s @ (self.vt @ pi)

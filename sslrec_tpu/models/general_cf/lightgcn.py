@@ -42,7 +42,7 @@ class LightGCN(RecModel):
         return acc[: self.user_num], acc[self.user_num:]
 
     def forward_train(self, params, key):
-        ew = augment.edge_drop_mask(key, self.adj.nnz, self.keep_rate)
+        ew = augment.edge_drop(key, self.adj, self.keep_rate)
         return self.propagate(params, edge_weight=ew)
 
     def loss(self, params, batch, key):

@@ -33,13 +33,12 @@ class SGL(LightGCN):
         if self.augmentation == "node_drop":
             embeds = augment.node_drop(key, embeds, keep_rate)
         elif self.augmentation == "edge_drop":
-            edge_weight = augment.edge_drop_mask(key, self.adj.nnz, keep_rate)
+            edge_weight = augment.edge_drop(key, self.adj, keep_rate)
         elif self.augmentation == "random_walk":
             # fresh edge-drop sample per layer (the reference's branch is broken
             # — SURVEY §7 known bugs — this is the intended semantics)
-            edge_weight = jnp.stack([
-                augment.edge_drop_mask(k, self.adj.nnz, keep_rate)
-                for k in jax.random.split(key, self.layer_num)])
+            edge_weight = augment.edge_drop(key, self.adj, keep_rate,
+                                            salts=jnp.arange(self.layer_num))
         return embeds, edge_weight
 
     def forward_view(self, params, key, keep_rate):
@@ -54,7 +53,9 @@ class SGL(LightGCN):
         x0a, ewa = self._view_inputs(params, k1, self.keep_rate)
         x0b, ewb = self._view_inputs(params, k2, self.keep_rate)
         x0s = jnp.stack([x0a, x0b])
-        ews = None if ewa is None else jnp.stack([ewa, ewb])
+        # tree-stack handles both [nnz] masks and PaddedEdgeWeight layouts
+        ews = (None if ewa is None
+               else jax.tree.map(lambda *xs: jnp.stack(xs), ewa, ewb))
         out = spmm_views(self.adj, x0s, self.layer_num, ews)  # [2, L, N, d]
         acc = x0s + out.sum(axis=1)
         return acc[0], acc[1]

@@ -278,6 +278,124 @@ def _contrib(bg: BlockedGraph, x: jnp.ndarray, edge_weight: jnp.ndarray | None):
     return x[bg.cols] * v[:, None]
 
 
+# ---------------------------------------------------------------------------
+# Gather-free edge dropout: PRF-addressed masks in each padded layout
+# ---------------------------------------------------------------------------
+#
+# ``edge_weight[bg.edge_ids]`` is a random-pattern scalar gather; on TPU those
+# are per-element latency-bound (~7 ms for the bwd layout's 768k-edge
+# permutation on Yelp — measured; the bwd edge order is the transpose
+# permutation, i.e. effectively random).  A dropout mask doesn't need to be
+# materialised in any one order though: it only needs to be a *function of the
+# original edge id*, so each layout can recompute its own copy by hashing its
+# (constant) ``edge_ids`` array — pure VPU work, no gathers, bit-identical
+# mask for the same edge in the forward and transpose layouts.
+
+
+def _rotl32(x, d):
+    return (x << jnp.uint32(d)) | (x >> jnp.uint32(32 - d))
+
+
+def _threefry2x32(k0, k1, c0, c1):
+    """Threefry-2x32 (20 rounds), same schedule as jax.random's bit generator;
+    evaluated at arbitrary counter arrays ``c0``/``c1``."""
+    rots = ((13, 15, 26, 6), (17, 29, 16, 24))
+    ks = (k0, k1, k0 ^ k1 ^ jnp.uint32(0x1BD11BDA))
+    x0 = c0 + ks[0]
+    x1 = c1 + ks[1]
+    for i in range(5):
+        for r in rots[i % 2]:
+            x0 = x0 + x1
+            x1 = _rotl32(x1, r)
+            x1 = x1 ^ x0
+        x0 = x0 + ks[(i + 1) % 3]
+        x1 = x1 + ks[(i + 2) % 3] + jnp.uint32(i + 1)
+    return x0, x1
+
+
+def _prf_uniform(key, counts: jnp.ndarray, salt) -> jnp.ndarray:
+    """Uniform [0,1) evaluated at uint32 ``counts`` (counter-mode threefry)."""
+    if hasattr(key, "dtype") and jax.dtypes.issubdtype(key.dtype,
+                                                       jax.dtypes.prng_key):
+        kd = jax.random.key_data(key)
+    else:
+        kd = key  # legacy uint32 [2] key
+    k0 = kd[0].astype(jnp.uint32)
+    k1 = kd[1].astype(jnp.uint32)
+    bits, _ = _threefry2x32(k0, k1, counts.astype(jnp.uint32),
+                            jnp.uint32(salt) + jnp.zeros_like(counts, jnp.uint32))
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2**-24)
+
+
+class PaddedEdgeWeight(NamedTuple):
+    """A non-learned per-edge multiplier already laid out per direction.
+
+    ``fwd``/``bwd``: [..., n_chunks*M] multipliers aligned with the respective
+    ``BlockedGraph`` slot order (leading dims = views/layers).  Consumed by
+    :func:`pallas_spmm_pv`, which treats the multiplier as a CONSTANT in the
+    backward pass — correct for dropout masks (``floor`` has zero gradient
+    anyway), wrong for learned gates (use :func:`pallas_spmm` for those).
+    """
+
+    fwd: jnp.ndarray
+    bwd: jnp.ndarray
+
+    @property
+    def ndim(self):  # mask rank in "original-order" terms (for per-layer checks)
+        return self.fwd.ndim
+
+
+def dropout_padded(key, pg: PallasGraph, keep_rate: float,
+                   salts=0, resize_val: bool = False) -> PaddedEdgeWeight:
+    """Bernoulli(keep_rate) edge-drop multipliers in both padded layouts.
+
+    Semantics parity with ``augment.edge_drop_mask`` (``aug_utils.py:11-31``:
+    ``floor(U + keep_rate)``, optional 1/keep_rate rescale) but the uniform for
+    edge ``e`` is ``PRF(key, e)``, so both layouts derive the identical mask
+    from their constant ``edge_ids`` with zero gathers.  ``salts``: int or int
+    array (one mask per salt → leading dim, for per-view/per-layer drops).
+    """
+    def one(bg):
+        def mask(salt):
+            u = _prf_uniform(key, bg.edge_ids, salt)
+            keep = jnp.floor(u + jnp.float32(keep_rate))
+            return keep / jnp.float32(keep_rate) if resize_val else keep
+
+        if jnp.ndim(salts) == 0:
+            return mask(salts)
+        return jax.vmap(mask)(jnp.asarray(salts, jnp.uint32))
+
+    return PaddedEdgeWeight(fwd=one(pg.fwd), bwd=one(pg.bwd))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4))
+def pallas_spmm_pv(pg: PallasGraph, x: jnp.ndarray, wf: jnp.ndarray,
+                   wb: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """``(W∘A) @ x`` with a padded-layout constant multiplier ``W`` (dropout).
+
+    ``wf``/``wb``: [n_chunks*M] multipliers for the fwd/bwd layouts (from
+    :func:`dropout_padded`).  Differentiable wrt ``x`` only — the multiplier
+    cotangent is declared zero, which is exact for masks produced through
+    ``floor`` (their true gradient is zero) and avoids the dew gathers.
+    """
+    return _blocked_matvec(pg.fwd, x[pg.fwd.cols] * (pg.fwd.vals * wf)[:, None],
+                           interpret)
+
+
+def _pv_fwd(pg, x, wf, wb, interpret):
+    return pallas_spmm_pv(pg, x, wf, wb, interpret), (wf, wb)
+
+
+def _pv_bwd(pg, interpret, res, g):
+    wf, wb = res
+    dx = _blocked_matvec(pg.bwd, g[pg.bwd.cols] * (pg.bwd.vals * wb)[:, None],
+                         interpret)
+    return dx, jnp.zeros_like(wf), jnp.zeros_like(wb)
+
+
+pallas_spmm_pv.defvjp(_pv_fwd, _pv_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3))
 def pallas_spmm(pg: PallasGraph, x: jnp.ndarray,
                 edge_weight: jnp.ndarray | None = None,

@@ -29,9 +29,13 @@ def spmm(g, x: jnp.ndarray, edge_weight: jnp.ndarray | None = None) -> jnp.ndarr
     edge-dropout mask, or learned edge gates) indexed in the original row-sorted
     edge order.  Static shapes throughout.
     """
-    from sslrec_tpu.ops.pallas_spmm import PallasGraph, pallas_spmm
+    from sslrec_tpu.ops.pallas_spmm import (PaddedEdgeWeight, PallasGraph,
+                                            pallas_spmm, pallas_spmm_pv)
 
     if isinstance(g, PallasGraph):
+        if isinstance(edge_weight, PaddedEdgeWeight):
+            # gather-free dropout path: multiplier already in each layout
+            return pallas_spmm_pv(g, x, edge_weight.fwd, edge_weight.bwd)
         return pallas_spmm(g, x, edge_weight)
     vals = g.vals if edge_weight is None else g.vals * edge_weight
     contrib = x[g.cols] * vals[:, None]
@@ -57,6 +61,7 @@ def spmm_layers(g, x0: jnp.ndarray, n_layers: int,
     Returns the stacked per-hop outputs ``[n_layers, n_rows, d]``.
     """
     per_layer_ew = edge_weight is not None and edge_weight.ndim == 2
+    # a PaddedEdgeWeight is a pytree: per-layer leading dims scan correctly
 
     def body(x, inp):
         inp = inp or {}
