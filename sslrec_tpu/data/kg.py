@@ -108,6 +108,8 @@ class MaskableBiAdj:
             shape=(self.n_nodes, self.n_nodes)))
         self._rows = jnp.asarray(rows.astype(np.int32))
         self._cols = jnp.asarray(cols.astype(np.int32))
+        from sslrec_tpu.ops.pallas_segment import SegmentOps
+        self._seg_rows = SegmentOps(self._rows, self.n_nodes)
         self.rect_id = jnp.asarray(rect.astype(np.int32))
         self.rect_item_ids = jnp.asarray(coo.col.astype(np.int32))  # [nnz_rect]
         self.nnz_rect = nnz
@@ -117,8 +119,7 @@ class MaskableBiAdj:
         import jax
 
         me = rect_mask[self.rect_id]
-        deg = jax.ops.segment_sum(me, self._rows, num_segments=self.n_nodes,
-                                  indices_are_sorted=True) + 1e-7
+        deg = self._seg_rows.sum(me) + 1e-7
         dinv = deg ** -0.5
         return me * dinv[self._rows] * dinv[self._cols]
 

@@ -30,7 +30,6 @@ import jax.numpy as jnp
 
 from sslrec_tpu.models import losses
 from sslrec_tpu.models.base import RecModel
-from sslrec_tpu.ops.segment import segment_softmax, segment_sum
 from sslrec_tpu.ops.spmm import spmm
 from sslrec_tpu.utils.initializers import normal_init, xavier_uniform
 
@@ -65,6 +64,11 @@ class KGCL(RecModel):
         self.mess_dropout_rate = float(m.mess_dropout_rate)
         self.train_trans = bool(m.get("train_trans", False))
         self._kg_triplets = data.extras["kg_triplets_full"]
+        # scatter-free segment ops for the RGAT hop (blocked kernels on TPU)
+        from sslrec_tpu.ops.pallas_segment import OneHotTake, SegmentOps
+        self.seg_h = SegmentOps(self.heads, self.n_entities)
+        self.seg_t = SegmentOps(self.tails, self.n_entities)
+        self.rel_take = OneHotTake(self.rels, self.n_relations)
 
     def init_params(self, key):
         ks = jax.random.split(key, 5)
@@ -82,19 +86,20 @@ class KGCL(RecModel):
 
     # -- RGAT ---------------------------------------------------------------
     def _rgat(self, params, key, entity_emb, edge_mask=None, mess_dropout=False):
-        h, t, r = self.heads, self.tails, self.rels
+        r = self.rels
         out = entity_emb
         for hop in range(self.context_hops):
-            a_in = jnp.concatenate([out[h], out[t]], axis=-1)
+            out_h, out_t = self.seg_h.take(out), self.seg_t.take(out)
+            a_in = jnp.concatenate([out_h, out_t], axis=-1)
             proj = a_in @ params["rgat_fc"]["w"] + params["rgat_fc"]["b"]
             logits = jax.nn.leaky_relu(
-                jnp.sum(proj * params["relation_embed"][r], axis=-1), 0.2)
+                jnp.sum(proj * self.rel_take.take(params["relation_embed"]), axis=-1), 0.2)
             if edge_mask is not None:
                 logits = jnp.where(edge_mask > 0, logits, -1e9)
-            e = segment_softmax(logits, h, self.n_entities)
-            if edge_mask is not None:
-                e = e * edge_mask  # fully-masked heads keep exact zeros
-            agg = segment_sum(out[t] * e[:, None], h, self.n_entities)
+            # fused softmax+aggregate; edge_mask keeps fully-masked heads at
+            # exact zeros (numerator AND denominator masked — masked edges'
+            # exp(-1e9-shift) underflows to 0 either way)
+            agg = self.seg_h.attn(logits, out_t, edge_mask)
             if mess_dropout:
                 key, sub = jax.random.split(key)
                 keep = jax.random.bernoulli(sub, 1 - self.mess_dropout_rate, agg.shape)

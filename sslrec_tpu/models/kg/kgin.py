@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 
 from sslrec_tpu.models.base import RecModel
-from sslrec_tpu.ops.segment import segment_sum
 from sslrec_tpu.ops.sparse import normalize_adj_left
 from sslrec_tpu.utils.initializers import xavier_uniform
 
@@ -62,6 +61,14 @@ class KGIN(RecModel):
         self.im_cols = jnp.asarray(norm.col[order].astype(np.int32))
         self.im_vals = jnp.asarray(norm.data[order].astype(np.float32))
 
+        # scatter-free segment ops (blocked kernels on TPU, XLA on CPU)
+        from sslrec_tpu.ops.pallas_segment import OneHotTake, SegmentOps
+        self.rel_take = OneHotTake(self.kg_rels - 1, self.n_relations - 1)
+        self.seg_h = SegmentOps(self.kg_heads, self.n_entities)
+        self.seg_t = SegmentOps(self.kg_tails, self.n_entities)
+        self.seg_iu = SegmentOps(self.im_rows, self.user_num)
+        self.seg_ic = SegmentOps(self.im_cols, self.n_entities)
+
     def init_params(self, key):
         ks = jax.random.split(key, 4)
         d = self.embedding_size
@@ -75,20 +82,19 @@ class KGIN(RecModel):
 
     # -- aggregation hop ----------------------------------------------------
     def _hop(self, params, entity_emb, user_emb, kg_mask, im_vals):
-        h, t, r = self.kg_heads, self.kg_tails, self.kg_rels
-        rel_emb = params["weight"][r - 1]
-        contrib = entity_emb[t] * rel_emb
+        h, r = self.kg_heads, self.kg_rels
+        rel_emb = self.rel_take.take(params["weight"])
+        contrib = self.seg_t.take(entity_emb) * rel_emb
         if kg_mask is not None:
             contrib = contrib * kg_mask[:, None]
-            cnt = segment_sum(kg_mask, h, self.n_entities)
+            cnt = self.seg_h.sum(kg_mask)
         else:
-            cnt = segment_sum(jnp.ones_like(h, jnp.float32), h, self.n_entities)
-        entity_agg = segment_sum(contrib, h, self.n_entities) \
-            / jnp.maximum(cnt, 1.0)[:, None]
+            cnt = self.seg_h.sum(jnp.ones_like(h, jnp.float32))
+        entity_agg = self.seg_h.sum(contrib) / jnp.maximum(cnt, 1.0)[:, None]
 
         score = jax.nn.softmax(user_emb @ params["latent_emb"].T, axis=1)  # [U, F]
-        user_agg = segment_sum(entity_emb[self.im_cols] * im_vals[:, None],
-                               self.im_rows, self.user_num, sorted_ids=True)
+        user_agg = self.seg_iu.sum(self.seg_ic.take(entity_emb)
+                                   * im_vals[:, None])
         disen_w = jax.nn.softmax(params["disen_weight_att"], axis=-1) \
             @ params["weight"]                                 # [F, d]
         mod = score @ disen_w                                  # [U, d]

@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 
 from sslrec_tpu.models.base import RecModel
-from sslrec_tpu.ops.segment import segment_softmax, segment_sum
 from sslrec_tpu.ops.sparse import normalize_adj_left
 from sslrec_tpu.utils.initializers import linear_params, xavier_uniform
 
@@ -69,6 +68,18 @@ class KGRec(RecModel):
         self.ie_w = jnp.asarray(ui.data[order].astype(np.float32))
         self.n_ui = int(ui.nnz)
 
+        # scatter-free segment ops (blocked kernels on TPU, XLA on CPU); the
+        # ie_i array needs two contexts — reductions into item space and
+        # takes whose backward reduces into entity space
+        from sslrec_tpu.ops.pallas_segment import OneHotTake, SegmentOps
+        # relations are 1-indexed in the triplet file; take on the shifted ids
+        self.rel_take = OneHotTake(self.kg_rels - 1, self.n_relations - 1)
+        self.seg_h = SegmentOps(self.kg_heads, self.n_entities)
+        self.seg_t = SegmentOps(self.kg_tails, self.n_entities)
+        self.seg_ieu = SegmentOps(self.ie_u, self.user_num)
+        self.seg_iei = SegmentOps(self.ie_i, self.item_num)
+        self.seg_ie_ent = SegmentOps(self.ie_i, self.n_entities)
+
     def init_params(self, key):
         ks = jax.random.split(key, 7)
         d = self.embedding_size
@@ -85,9 +96,11 @@ class KGRec(RecModel):
         d = self.embedding_size
         dk = d // self.n_heads
         h, t, r = self.kg_heads, self.kg_tails, self.kg_rels
-        q = (entity_emb[h] @ params["w_q"]).reshape(-1, self.n_heads, dk)
-        k = (entity_emb[t] @ params["w_q"]).reshape(-1, self.n_heads, dk)
-        k = k * params["relation_emb"][r - 1].reshape(-1, self.n_heads, dk)
+        q = (self.seg_h.take(entity_emb) @ params["w_q"]).reshape(
+            -1, self.n_heads, dk)
+        k = (self.seg_t.take(entity_emb) @ params["w_q"]).reshape(
+            -1, self.n_heads, dk)
+        k = k * self.rel_take.take(params["relation_emb"]).reshape(-1, self.n_heads, dk)
         return jnp.sum(q * k, -1) / jnp.sqrt(dk)        # [n_kg, heads]
 
     def _norm_attn(self, params, entity_emb, live):
@@ -96,8 +109,8 @@ class KGRec(RecModel):
         logits = jnp.mean(self._attn_logits(params, entity_emb), -1)
         logits = jax.lax.stop_gradient(logits)
         masked = jnp.where(live > 0, logits, -1e9)
-        score = segment_softmax(masked, self.kg_heads, self.n_entities) * live
-        norm = segment_sum(live, self.kg_heads, self.n_entities)[self.kg_heads]
+        score = self.seg_h.softmax(masked) * live
+        norm = self.seg_h.sum(live)[self.kg_heads]
         return score * norm, logits
 
     def _shared_agg(self, params, user_emb, entity_emb, kg_mask, ie_mask):
@@ -106,16 +119,15 @@ class KGRec(RecModel):
         dk = d // self.n_heads
         logits = self._attn_logits(params, entity_emb)
         logits = jnp.where((kg_mask > 0)[:, None], logits, -1e9)
-        attn = jnp.stack([
-            segment_softmax(logits[:, i], h, self.n_entities) for i in
-            range(self.n_heads)], axis=1) * kg_mask[:, None]
-        value = (entity_emb[t] * params["relation_emb"][r - 1]) \
+        value = (self.seg_t.take(entity_emb) * self.rel_take.take(params["relation_emb"])) \
             .reshape(-1, self.n_heads, dk)
-        ent = (value * attn[:, :, None]).reshape(-1, d)
-        entity_agg = segment_sum(ent, h, self.n_entities)
+        # fused per-head softmax+aggregate (kg_mask zeroes both num and den)
+        entity_agg = jnp.concatenate([
+            self.seg_h.attn(logits[:, i], value[:, i, :], kg_mask)
+            for i in range(self.n_heads)], axis=-1)
         w = self.ie_w * ie_mask / (1 - self.node_dropout_rate)
-        item_agg = w[:, None] * entity_emb[self.ie_i]
-        user_agg = segment_sum(item_agg, self.ie_u, self.user_num, sorted_ids=True)
+        item_agg = w[:, None] * self.seg_ie_ent.take(entity_emb)
+        user_agg = self.seg_ieu.sum(item_agg)
         return entity_agg, user_agg
 
     def _gcn(self, params, key, kg_mask, ie_mask, training):
@@ -145,10 +157,8 @@ class KGRec(RecModel):
         item_emb = params["all_embed"][self.user_num: self.user_num + self.item_num]
         item_res = item_emb
         for _ in range(self.context_hops):
-            u_agg = segment_sum(ui_w[:, None] * item_emb[self.ie_i], self.ie_u,
-                                self.user_num, sorted_ids=True)
-            i_agg = segment_sum(ui_w[:, None] * user_emb[self.ie_u], self.ie_i,
-                                self.item_num)
+            u_agg = self.seg_ieu.sum(ui_w[:, None] * self.seg_iei.take(item_emb))
+            i_agg = self.seg_iei.sum(ui_w[:, None] * self.seg_ieu.take(user_emb))
             user_emb, item_emb = _l2rows(u_agg), _l2rows(i_agg)
             item_res = item_res + item_emb
         return item_res
@@ -158,10 +168,11 @@ class KGRec(RecModel):
         res = entity_emb
         h, t, r = self.kg_heads, self.kg_tails, self.kg_rels
         for _ in range(self.context_hops):
-            contrib = entity_emb[t] * params["relation_emb"][r - 1] * kg_mask[:, None]
-            cnt = segment_sum(kg_mask, h, self.n_entities)
-            agg = segment_sum(contrib, h, self.n_entities) \
-                / jnp.maximum(cnt, 1.0)[:, None]
+            contrib = (self.seg_t.take(entity_emb)
+                       * self.rel_take.take(params["relation_emb"])
+                       * kg_mask[:, None])
+            cnt = self.seg_h.sum(kg_mask)
+            agg = self.seg_h.sum(contrib) / jnp.maximum(cnt, 1.0)[:, None]
             entity_emb = _l2rows(agg)
             res = res + entity_emb
         return res[: self.item_num]
@@ -190,10 +201,8 @@ class KGRec(RecModel):
         # 2. rationale scores
         attn_score, _ = self._norm_attn(params, item_emb_0, live)
         # per-item mean attention (head/tail) for UI-side sampling
-        am1 = segment_sum(attn_score, self.kg_heads, self.n_entities) \
-            / jnp.maximum(segment_sum(live, self.kg_heads, self.n_entities), 1.0)
-        am2 = segment_sum(attn_score, self.kg_tails, self.n_entities) \
-            / jnp.maximum(segment_sum(live, self.kg_tails, self.n_entities), 1.0)
+        am1 = self.seg_h.sum(attn_score) / jnp.maximum(self.seg_h.sum(live), 1.0)
+        am2 = self.seg_t.sum(attn_score) / jnp.maximum(self.seg_t.sum(live), 1.0)
         am1 = jnp.where(am1 == 0.0, 1.0, am1)
         am2 = jnp.where(am2 == 0.0, 1.0, am2)
         item_attn_mean = (0.5 * am1 + 0.5 * am2)[: self.item_num]

@@ -29,7 +29,6 @@ import jax.numpy as jnp
 
 from sslrec_tpu.models import layers
 from sslrec_tpu.models.sequential.base_seq import SequentialModel
-from sslrec_tpu.ops.segment import segment_sum
 from sslrec_tpu.utils.initializers import linear_params, normal_init
 
 
@@ -145,6 +144,17 @@ class DCRec(SequentialModel):
         # test-time graphs from the test sequences (dcrec_seq.py full_predict)
         (self.adj_test, _, self.sim_test) = _build_graphs(
             data.extras["test_seqs"], self.n_items1, self.sim_k)
+        # scatter-free segment ops per constant graph (TPU blocked kernels)
+        from sslrec_tpu.ops.pallas_segment import SegmentOps
+
+        def _graph_ops(g):
+            return (SegmentOps(g[0], self.n_items1),
+                    SegmentOps(g[1], self.n_items1))
+
+        self.ops_adj = _graph_ops(self.adj)
+        self.ops_sim = _graph_ops(self.sim)
+        self.ops_adj_test = _graph_ops(self.adj_test)
+        self.ops_sim_test = _graph_ops(self.sim_test)
 
     def init_params(self, key):
         ks = jax.random.split(key, 6)
@@ -159,7 +169,7 @@ class DCRec(SequentialModel):
         return p
 
     # -- GCN over an edge triple ----------------------------------------------
-    def _gcn(self, params, key, graph, edge_scale=None, deterministic=False):
+    def _gcn(self, params, key, graph, seg, edge_scale=None, deterministic=False):
         """Replicates ``dcrec_seq.GCN.forward`` exactly: ``dgl.add_self_loop``
         appends weight-1 loops on top of the pre-normalised values, and the
         dgl ``GraphConv(norm='both')`` then re-normalises by *structural* edge
@@ -175,8 +185,9 @@ class DCRec(SequentialModel):
         if edge_scale is not None:
             w = w * edge_scale
             live = live * edge_scale
-        deg_in = segment_sum(live, rows, self.n_items1) + 1.0
-        deg_out = segment_sum(live, cols, self.n_items1) + 1.0
+        seg_r, seg_c = seg
+        deg_in = seg_r.sum(live) + 1.0
+        deg_out = seg_c.sum(live) + 1.0
         dinv_in = deg_in ** -0.5
         dinv_out = deg_out ** -0.5
         we = w * dinv_out[cols] * dinv_in[rows]
@@ -191,7 +202,7 @@ class DCRec(SequentialModel):
         x = item_emb
         embs = [x]
         for _ in range(2):
-            x = segment_sum(x[cols] * we[:, None], rows, self.n_items1) \
+            x = seg_r.sum(seg_c.take(x) * we[:, None]) \
                 + loop_w[:, None] * x
             embs.append(x)
         out = sum(embs) / 3.0
@@ -222,9 +233,9 @@ class DCRec(SequentialModel):
             emask.astype(jnp.float32))
         aug_scale = 1.0 - removed
 
-        adj_emb = self._gcn(params, ks[0], self.adj)
-        sim_emb = self._gcn(params, ks[1], self.sim)
-        aug_emb = self._gcn(params, ks[2], self.adj, edge_scale=aug_scale)
+        adj_emb = self._gcn(params, ks[0], self.adj, self.ops_adj)
+        sim_emb = self._gcn(params, ks[1], self.sim, self.ops_sim)
+        aug_emb = self._gcn(params, ks[2], self.adj, self.ops_adj, edge_scale=aug_scale)
         adj_last = adj_emb[last_items]
         sim_last = sim_emb[last_items]
 
@@ -241,9 +252,9 @@ class DCRec(SequentialModel):
         foreign_w = edge_sel * (1.0 - removed)
 
         def readout(weights):
-            summed = segment_sum(adj_emb[cols] * weights[:, None], rows,
-                                 self.n_items1)
-            cnt = segment_sum(weights, rows, self.n_items1)
+            seg_r, seg_c = self.ops_adj
+            summed = seg_r.sum(seg_c.take(adj_emb) * weights[:, None])
+            cnt = seg_r.sum(weights)
             return (summed / jnp.maximum(cnt, 1.0)[:, None])[last_items]
 
         civil_ro = readout(civil_w)
@@ -287,9 +298,9 @@ class DCRec(SequentialModel):
         h = layers.apply_transformer_tower(params, jax.random.PRNGKey(0), seqs,
                                            self.n_heads, 0.0, True)[:, -1]
         adj_emb = self._gcn(params, jax.random.PRNGKey(0), self.adj_test,
-                            deterministic=True)
+                            self.ops_adj_test, deterministic=True)
         sim_emb = self._gcn(params, jax.random.PRNGKey(0), self.sim_test,
-                            deterministic=True)
+                            self.ops_sim_test, deterministic=True)
         last = seqs[:, -1]
         mixed = jnp.stack([h, adj_emb[last], sim_emb[last]], 0)
         weights = jnp.sum((mixed @ params["attn_weights"]) * params["attn"], -1)

@@ -31,7 +31,6 @@ import optax
 from sslrec_tpu.models import layers
 from sslrec_tpu.models.base import RecModel
 from sslrec_tpu.models.sequential.base_seq import SequentialModel
-from sslrec_tpu.ops.segment import segment_sum
 from sslrec_tpu.ops import sparse as sparse_ops
 from sslrec_tpu.utils.initializers import xavier_uniform
 
@@ -78,6 +77,10 @@ class MAERec(SequentialModel):
         self.norm_vals = jnp.asarray(norm.data[order].astype(np.float32))
         self.nnz = int(norm.nnz)
         self.ii_edge_set = sparse_ops.build_edge_set(ii)
+        # scatter-free segment ops over the transition graph (TPU)
+        from sslrec_tpu.ops.pallas_segment import SegmentOps
+        self.seg_r = SegmentOps(self.rows, self.n_items1)
+        self.seg_c = SegmentOps(self.cols, self.n_items1)
 
         lr = float(cfg.optimizer.lr)
         wd = float(cfg.optimizer.get("weight_decay", 0) or 0)
@@ -108,8 +111,7 @@ class MAERec(SequentialModel):
 
     # -- encoder -------------------------------------------------------------
     def _spmm_vals(self, vals, x):
-        return segment_sum(x[self.cols] * vals[:, None], self.rows,
-                           self.n_items1, sorted_ids=True)
+        return self.seg_r.sum(self.seg_c.take(x) * vals[:, None])
 
     def _encode_items(self, params, enc_vals):
         embeds = [params["item_emb"]]
@@ -131,7 +133,7 @@ class MAERec(SequentialModel):
     def _path_scores(self, params, key):
         embeds = params["item_emb"]
         ones = jnp.ones((self.nnz,))
-        order = segment_sum(ones, self.rows, self.n_items1, sorted_ids=True)[:, None]
+        order = self.seg_r.sum(ones)[:, None]
         fst = self._spmm_vals(ones, embeds) - embeds
         fst_num = order
         emb = [fst]
@@ -145,8 +147,7 @@ class MAERec(SequentialModel):
             emb.append((self._spmm_vals(vals, emb[-1]) - emb[-1])
                        - order * emb[-1])
             num.append((self._spmm_vals(vals, num[-1]) - num[-1]) - order)
-            order = segment_sum(vals, self.rows, self.n_items1,
-                                sorted_ids=True)[:, None]
+            order = self.seg_r.sum(vals)[:, None]
         sub_emb = sum(emb) / (sum(num) + 1e-8)
         sub_emb = sub_emb / jnp.sqrt(jnp.sum(sub_emb**2, -1, keepdims=True) + 1e-12)
         en = embeds / jnp.sqrt(jnp.sum(embeds**2, -1, keepdims=True) + 1e-12)
@@ -176,7 +177,7 @@ class MAERec(SequentialModel):
                         * thin.astype(jnp.float32), 0.0, 1.0)
                 masked = ((closure[self.rows] > 0) | (closure[self.cols] > 0))
                 keep = (~masked).astype(jnp.float32)
-                deg = segment_sum(keep, self.rows, self.n_items1, sorted_ids=True)
+                deg = self.seg_r.sum(keep)
                 dinv = (deg + 1e-12) ** -0.5
                 enc_vals = keep * dinv[self.rows] * dinv[self.cols]
                 return {"enc_vals": enc_vals,

@@ -281,11 +281,11 @@ def test_dcrec_seq_parity(monkeypatch):
     # --- GCN tower parity (adj + sim graphs)
     r_adj = ref.gcn_forward(ref.item_adjgraph)
     j_adj = model._gcn(params, jax.random.PRNGKey(0), model.adj,
-                       deterministic=True)
+                       model.ops_adj, deterministic=True)
     assert_close(r_adj, j_adj, atol=3e-4, what="DCRec adj GCN")
     r_sim = ref.gcn_forward(ref.item_simgraph)
     j_sim = model._gcn(params, jax.random.PRNGKey(0), model.sim,
-                       deterministic=True)
+                       model.ops_sim, deterministic=True)
     assert_close(r_sim, j_sim, atol=3e-4, what="DCRec sim GCN")
 
     # --- transformer forward
