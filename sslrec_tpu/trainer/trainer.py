@@ -293,6 +293,11 @@ class Trainer:
         seed = int(cfg.train.seed)
         key = jax.random.PRNGKey(seed)
         key, init_key = jax.random.split(key)
+        # per-epoch keys are fold_in(root, epoch), NOT sequential splits: a run
+        # resumed from epoch N consumes the identical stream an uninterrupted
+        # run would, so mid-train resume is bit-faithful (and any epoch can be
+        # replayed in isolation from a saved train state)
+        root_key = key
         if params is None:
             params = self.model.init_params(init_key)
         if hasattr(self.model, "init_opt_state"):
@@ -338,7 +343,7 @@ class Trainer:
         now = time.time()
         save_every = int(cfg.train.get("save_state_every", 0) or 0)
         for epoch in range(start_epoch, n_epochs):
-            key, ekey = jax.random.split(key)
+            ekey = jax.random.fold_in(root_key, epoch)
             params, opt_state, losses = self.train_epoch(params, opt_state, ekey, epoch)
             if cfg.train.get("log_loss", True):
                 self.logger.log_loss(epoch, jax.device_get(losses))

@@ -126,6 +126,7 @@ def _run_vmapped_chunk(cfg, data, logger, chunk, probe, Evaluator):
     seed = int(cfg.train.seed)
     key = jax.random.PRNGKey(seed)
     key, init_key = jax.random.split(key)
+    root_key = key  # per-epoch fold_in, mirroring Trainer.train exactly
     params0 = probe.init_params(init_key)
     params = jax.tree.map(lambda x: jnp.stack([x] * K), params0)
     if hasattr(probe, "init_opt_state"):
@@ -160,7 +161,7 @@ def _run_vmapped_chunk(cfg, data, logger, chunk, probe, Evaluator):
     best_params = jax.tree.map(jnp.copy, params)
     aux_state = None
     for epoch in range(n_epochs):
-        key, ekey = jax.random.split(key)
+        ekey = jax.random.fold_in(root_key, epoch)
         if has_aux and (aux_state is None or epoch % period == 0):
             aux_state = vm_aux(params, ekey)
         params, opt_state, _ = vm_epoch(params, opt_state, ekey, aux_state,

@@ -99,6 +99,41 @@ def test_resume_roundtrip(tmp_path):
     trainer2.train(model.init_params(jax.random.PRNGKey(0)))
 
 
+def test_resume_is_bit_faithful(tmp_path):
+    """A run resumed from epoch N consumes the identical per-epoch key stream
+    (fold_in(root, epoch), not sequential splits) — so interrupt+resume
+    produces bit-identical parameters to the uninterrupted run."""
+    data = _make_bundle(3)
+    base = {
+        "train.epoch": 4, "train.batch_size": 128, "train.test_step": 1,
+        "test.batch_size": 16, "test.k": [3], "model.embedding_size": 8,
+        "train.save_model": False,
+    }
+    # uninterrupted 4-epoch run
+    cfg = load_config("lightgcn", overrides=base)
+    model = build_model(cfg, data)
+    t_full = Trainer(cfg, model, data, logger=_SilentLogger())
+    t_full.train()
+
+    # same run, but saving state every 2 epochs, stopped after epoch 1...
+    p = str(tmp_path / "mid")
+    cfg_a = load_config("lightgcn", overrides={
+        **base, "train.epoch": 2, "train.save_state_every": 2})
+    t_a = Trainer(cfg_a, model, data, logger=_SilentLogger())
+    import unittest.mock as mock
+    with mock.patch.object(Trainer, "_ckpt_path", lambda self: p):
+        t_a.train()
+    # ...then resumed to the full epoch budget
+    cfg_b = load_config("lightgcn", overrides={
+        **base, "train.resume_path": p + ".state"})
+    t_b = Trainer(cfg_b, model, data, logger=_SilentLogger())
+    t_b.train()
+
+    for a, b in zip(jax.tree.leaves(t_full.best_params),
+                    jax.tree.leaves(t_b.best_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_scan_chunk_matches_single_scan():
     """train.scan_chunk splits the epoch into bounded-length device calls; the
     RNG streams come from one prologue program so the step sequence (and hence
