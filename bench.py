@@ -61,10 +61,15 @@ def _throughput(cfg, data, n_epochs=3):
     opt_state = (model.init_opt_state(params)
                  if hasattr(model, "init_opt_state")
                  else trainer.optimizer.init(params))
-    params, opt_state, aux = trainer.train_epoch(params, opt_state, key, 0)
+    # two warmup epochs: several models compile a SECOND program at epoch 1
+    # (fix_steps view banks / epoch-schedule branches) — e.g. CML's steady
+    # state is 0.15 s/epoch but its epoch 1 costs 12 s of compile
+    for e in range(2):
+        key, k = jax.random.split(key)
+        params, opt_state, aux = trainer.train_epoch(params, opt_state, k, e)
     jax.block_until_ready(aux)
     t0 = time.time()
-    for e in range(1, 1 + n_epochs):
+    for e in range(2, 2 + n_epochs):
         key, k = jax.random.split(key)
         params, opt_state, aux = trainer.train_epoch(params, opt_state, k, e)
     jax.block_until_ready(aux)

@@ -86,7 +86,6 @@ class KGCL(RecModel):
 
     # -- RGAT ---------------------------------------------------------------
     def _rgat(self, params, key, entity_emb, edge_mask=None, mess_dropout=False):
-        r = self.rels
         out = entity_emb
         for hop in range(self.context_hops):
             out_h, out_t = self.seg_h.take(out), self.seg_t.take(out)

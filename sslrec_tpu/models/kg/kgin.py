@@ -82,7 +82,7 @@ class KGIN(RecModel):
 
     # -- aggregation hop ----------------------------------------------------
     def _hop(self, params, entity_emb, user_emb, kg_mask, im_vals):
-        h, r = self.kg_heads, self.kg_rels
+        h = self.kg_heads
         rel_emb = self.rel_take.take(params["weight"])
         contrib = self.seg_t.take(entity_emb) * rel_emb
         if kg_mask is not None:

@@ -95,7 +95,6 @@ class KGRec(RecModel):
     def _attn_logits(self, params, entity_emb):
         d = self.embedding_size
         dk = d // self.n_heads
-        h, t, r = self.kg_heads, self.kg_tails, self.kg_rels
         q = (self.seg_h.take(entity_emb) @ params["w_q"]).reshape(
             -1, self.n_heads, dk)
         k = (self.seg_t.take(entity_emb) @ params["w_q"]).reshape(
@@ -114,7 +113,6 @@ class KGRec(RecModel):
         return score * norm, logits
 
     def _shared_agg(self, params, user_emb, entity_emb, kg_mask, ie_mask):
-        h, t, r = self.kg_heads, self.kg_tails, self.kg_rels
         d = self.embedding_size
         dk = d // self.n_heads
         logits = self._attn_logits(params, entity_emb)
@@ -166,7 +164,6 @@ class KGRec(RecModel):
     def _forward_kg(self, params, kg_mask):
         entity_emb = params["all_embed"][self.user_num:]
         res = entity_emb
-        h, t, r = self.kg_heads, self.kg_tails, self.kg_rels
         for _ in range(self.context_hops):
             contrib = (self.seg_t.take(entity_emb)
                        * self.rel_take.take(params["relation_emb"])

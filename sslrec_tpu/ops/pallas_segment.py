@@ -57,16 +57,9 @@ def maybe_blocked_segments(segment_ids, num_segments: int,
     ``pallas_spmm.maybe_pallas``.  Returns ``None`` when the caller should use
     the plain ``jax.ops.segment_*`` path (CPU tests etc.).
     """
-    import os
+    from sslrec_tpu.ops.pallas_spmm import resolve_use
 
-    mode = os.environ.get("SSLREC_USE_PALLAS", "")
-    if mode == "0":
-        use = False
-    elif mode == "1":
-        use = True
-    elif use is None:
-        use = True
-    if not (use and jax.default_backend() == "tpu"):
+    if not resolve_use(use, default=True):
         return None
     return build_blocked_segments(np.asarray(jax.device_get(segment_ids)),
                                   num_segments, r, m)
@@ -287,20 +280,19 @@ class OneHotTake:
     """
 
     def __init__(self, ids, vocab: int, use: bool | None = None):
-        import os
+        from sslrec_tpu.ops.pallas_spmm import resolve_use
 
         self.ids = jnp.asarray(jax.device_get(ids), jnp.int32)
-        mode = os.environ.get("SSLREC_USE_PALLAS", "")
-        on = use if mode == "" else (mode == "1")
-        if on is None:
-            on = True
         self.onehot = None
-        if on and jax.default_backend() == "tpu":
+        if resolve_use(use, default=True):
             self.onehot = jax.nn.one_hot(self.ids, vocab, dtype=jnp.float32)
 
     def take(self, table: jnp.ndarray) -> jnp.ndarray:
         if self.onehot is not None:
-            return self.onehot @ table
+            # HIGHEST keeps the f32 table exact (one-hot rows are exact in any
+            # precision; default MXU bf16 would round the values ~2^-8)
+            return jax.lax.dot(self.onehot, table,
+                               precision=jax.lax.Precision.HIGHEST)
         return table[self.ids]
 
 

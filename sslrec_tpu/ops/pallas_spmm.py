@@ -246,10 +246,10 @@ def maybe_pallas(mat, use: bool | None = None, r: int = _R, m: int = _M):
     return _maybe(mat, use, r, m)
 
 
-def _maybe(mat, use, r, m):
+def resolve_use(use: bool | None, default: bool) -> bool:
+    """One place for the SSLREC_USE_PALLAS=0/1 override ladder: env forces,
+    else the caller's ``use``, else ``default`` — and never on non-TPU."""
     import os
-    import scipy.sparse as sp
-    import jax
 
     mode = os.environ.get("SSLREC_USE_PALLAS", "")
     if mode == "0":
@@ -257,8 +257,14 @@ def _maybe(mat, use, r, m):
     elif mode == "1":
         use = True
     elif use is None:
-        use = False
-    use = bool(use) and jax.default_backend() == "tpu"
+        use = default
+    return bool(use) and jax.default_backend() == "tpu"
+
+
+def _maybe(mat, use, r, m):
+    import scipy.sparse as sp
+
+    use = resolve_use(use, default=False)
     if sp.issparse(mat):
         if use:
             coo = mat.tocoo()

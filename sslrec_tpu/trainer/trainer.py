@@ -313,13 +313,24 @@ class Trainer:
                 opt_state, self.model.param_shardings(self.mesh, opt_state))
 
         # mid-train resume (an upgrade over the reference, which only supports
-        # load-for-test): restores params + optimizer state + epoch counter
+        # load-for-test): restores params, optimizer state, epoch counter AND
+        # the best-valid snapshot + early-stop bookkeeping — without the
+        # latter, a resumed run whose metric peak preceded the save point
+        # would silently report a different best than the uninterrupted run
         start_epoch = 0
+        best_metric = -1.0
+        # copy: the live `params` buffers are donated into the epoch program
+        best_params = jax.tree.map(jnp.copy, params)
+        wait = 0
         resume = cfg.train.get("resume_path")
         if resume:
             state = ckpt.load(resume, {"params": params, "opt_state": opt_state,
-                                       "epoch": 0})
+                                       "epoch": 0, "best_params": best_params,
+                                       "best_metric": 0.0, "wait": 0})
             params, opt_state = state["params"], state["opt_state"]
+            best_params = state["best_params"]
+            best_metric = float(state["best_metric"])
+            wait = int(state["wait"])
             start_epoch = int(state["epoch"]) + 1
             self.logger.log(f"resumed from {resume} at epoch {start_epoch}")
 
@@ -336,10 +347,6 @@ class Trainer:
         from sslrec_tpu.utils.summary import make_writer
         writer = make_writer(cfg)
 
-        best_metric = -1.0
-        # copy: the live `params` buffers are donated into the epoch program
-        best_params = jax.tree.map(jnp.copy, params)
-        wait = 0
         now = time.time()
         save_every = int(cfg.train.get("save_state_every", 0) or 0)
         for epoch in range(start_epoch, n_epochs):
@@ -349,11 +356,6 @@ class Trainer:
                 self.logger.log_loss(epoch, jax.device_get(losses))
             writer.add_scalar("Loss/train",
                               float(jax.device_get(losses)["loss"]), epoch)
-            if save_every and (epoch + 1) % save_every == 0:
-                path = self._ckpt_path() + ".state"
-                ckpt.save(path, {"params": params, "opt_state": opt_state,
-                                 "epoch": epoch})
-                self.logger.log(f"saved train state to {path}")
             if epoch % test_step == 0:
                 results = evaluator(params)
                 writer.add_scalar("HR/test", float(results[metric0][0]), epoch)
@@ -371,6 +373,15 @@ class Trainer:
                     self.logger.log(f"Early stop at epoch {epoch} "
                                     f"(best {metric0}@{cfg.test.k[0]}={best_metric:.5f})")
                     break
+            # state save AFTER the eval/best update so a resumed run carries
+            # the exact bookkeeping the uninterrupted run had at this point
+            if save_every and (epoch + 1) % save_every == 0:
+                path = self._ckpt_path() + ".state"
+                ckpt.save(path, {"params": params, "opt_state": opt_state,
+                                 "epoch": epoch, "best_params": best_params,
+                                 "best_metric": float(best_metric),
+                                 "wait": int(wait)})
+                self.logger.log(f"saved train state to {path}")
         else:
             # fixed-epoch run without early stop keeps last params as best when
             # nothing was better (reference keeps best snapshot too)

@@ -92,6 +92,30 @@ def vmapped_grid_search(cfg, data, logger, n_parallel):
     logger.log(f"tune: vmapped grid search, {n_trials} trials x "
                f"{n_parallel} per program")
 
+    # build the trainer/epoch fn and ALL jitted wrappers ONCE: jit caches key
+    # on the function object, so per-chunk construction would re-trace and
+    # re-compile the K-lane program for every chunk (the padded tail exists
+    # precisely so one compiled program serves the whole grid)
+    trainer = Trainer(trials[0][0], probe, data, logger=_Silent())
+    epoch_fn = trainer._build_epoch_fn()  # (params, opt, key, aux, arrays, hp)
+    has_aux = hasattr(probe, "epoch_state")
+    aux_axes = 0 if has_aux else None
+    ctx = {
+        "trainer": trainer, "epoch_fn": epoch_fn,
+        "arrays": trainer._train_arrays,
+        "vm_epoch": jax.jit(jax.vmap(epoch_fn,
+                                     in_axes=(0, 0, None, aux_axes, None, 0)),
+                            donate_argnums=(0, 1)),
+        "has_aux": has_aux,
+    }
+    if has_aux:
+        ctx["vm_aux"] = jax.jit(jax.vmap(probe.epoch_state_fn, in_axes=(0, None)))
+        ctx["period"] = int(getattr(probe, "epoch_state_period", 1) or 1)
+    eval_split = data.valid if data.valid is not None else data.test
+    ctx["vm_eval"] = jax.jit(jax.vmap(Evaluator(probe, eval_split, cfg)._eval_all))
+    ctx["vm_test"] = jax.jit(jax.vmap(Evaluator(probe, data.test, cfg)._eval_all))
+    ctx["denom"] = float(eval_split.n_test_users)
+
     results = []  # (test_score, assignment)
     for lo in range(0, n_trials, n_parallel):
         chunk = trials[lo:lo + n_parallel]
@@ -99,7 +123,7 @@ def vmapped_grid_search(cfg, data, logger, n_parallel):
         # pad the tail chunk by repeating its last trial so every chunk runs at
         # the same K and reuses ONE compiled program; padded lanes are dropped
         chunk = chunk + [chunk[-1]] * (n_parallel - real)
-        scores = _run_vmapped_chunk(cfg, data, logger, chunk, probe, Evaluator)
+        scores = _run_vmapped_chunk(cfg, data, logger, chunk, probe, ctx)
         for i in range(real):
             assignment = chunk[i][1]
             score = float(scores[i])
@@ -111,15 +135,17 @@ def vmapped_grid_search(cfg, data, logger, n_parallel):
     return best
 
 
-def _run_vmapped_chunk(cfg, data, logger, chunk, probe, Evaluator):
-    """Train K stacked trials to completion; returns per-trial test scores."""
+def _run_vmapped_chunk(cfg, data, logger, chunk, probe, ctx):
+    """Train K stacked trials to completion; returns per-trial test scores.
+
+    All jitted machinery arrives via ``ctx`` (built once per grid) so chunks
+    share compiled programs."""
     K = len(chunk)
     models = [build_model(tc, data) for tc, _ in chunk]
     hp = _stack([m.hparams() for m in models])
-
-    trainer = Trainer(chunk[0][0], probe, data, logger=_Silent())
-    epoch_fn = trainer._build_epoch_fn()  # (params, opt, key, aux, arrays, hp)
-    arrays = trainer._train_arrays
+    arrays = ctx["arrays"]
+    vm_epoch = ctx["vm_epoch"]
+    has_aux = ctx["has_aux"]
 
     # reference tuner re-seeds identically per trial (trainer/tuner.py:33):
     # every lane starts from the same init and consumes the same key sequence
@@ -132,22 +158,12 @@ def _run_vmapped_chunk(cfg, data, logger, chunk, probe, Evaluator):
     if hasattr(probe, "init_opt_state"):
         opt_state = jax.vmap(probe.init_opt_state)(params)
     else:
-        opt_state = jax.vmap(trainer.optimizer.init)(params)
+        opt_state = jax.vmap(ctx["trainer"].optimizer.init)(params)
 
-    has_aux = hasattr(probe, "epoch_state")
-    aux_axes = 0 if has_aux else None
-    vm_epoch = jax.jit(jax.vmap(epoch_fn, in_axes=(0, 0, None, aux_axes, None, 0)),
-                       donate_argnums=(0, 1))
     if has_aux:
-        vm_aux = jax.jit(jax.vmap(probe.epoch_state_fn, in_axes=(0, None)))
-        period = int(getattr(probe, "epoch_state_period", 1) or 1)
-
-    eval_split = data.valid if data.valid is not None else data.test
-    evaluator = Evaluator(probe, eval_split, cfg)
-    test_evaluator = Evaluator(probe, data.test, cfg)
-    vm_eval = jax.jit(jax.vmap(evaluator._eval_all))
-    vm_test = jax.jit(jax.vmap(test_evaluator._eval_all))
-    denom = float(eval_split.n_test_users)
+        vm_aux = ctx["vm_aux"]
+        period = ctx["period"]
+    vm_eval, vm_test, denom = ctx["vm_eval"], ctx["vm_test"], ctx["denom"]
 
     metric0 = cfg.test.metrics[0]
     patience = int(cfg.train.get("patience", 0) or 0)

@@ -86,9 +86,12 @@ def test_resume_roundtrip(tmp_path):
     params, opt_state, _ = trainer.train_epoch(params, opt_state,
                                                jax.random.PRNGKey(1), 0)
     p = str(tmp_path / "state.ckpt")
-    ckpt.save(p, {"params": params, "opt_state": opt_state, "epoch": 0})
+    full_state = {"params": params, "opt_state": opt_state, "epoch": 0,
+                  "best_params": params, "best_metric": 0.0, "wait": 0}
+    ckpt.save(p, full_state)
     tmpl = {"params": model.init_params(jax.random.PRNGKey(9)),
-            "opt_state": trainer.optimizer.init(params), "epoch": 0}
+            "opt_state": trainer.optimizer.init(params), "epoch": 0,
+            "best_params": params, "best_metric": 0.0, "wait": 0}
     state = ckpt.load(p, tmpl)
     assert int(state["epoch"]) == 0
     for a, b in zip(jax.tree.leaves(state["params"]), jax.tree.leaves(params)):
