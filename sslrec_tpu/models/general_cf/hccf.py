@@ -74,7 +74,17 @@ class HCCF(RecModel):
         total = embeds + jnp.sum(gcn, axis=0) + jnp.sum(hyper, axis=0)
         return total, gcn_list, hyper_list
 
+    def hparams(self):
+        """Tuned loss scalars traced through ``batch['hp']`` so the shipped
+        tune grid (``configs/hccf.yml``: layer_num × cl_weight × temperature)
+        vmaps over (cl_weight, temperature) within each layer_num group."""
+        return {"cl_weight": jnp.float32(self.cl_weight),
+                "temperature": jnp.float32(self.temperature)}
+
     def loss(self, params, batch, key):
+        hp = batch.get("hp", {})
+        cl_weight = hp.get("cl_weight", self.cl_weight)
+        temperature = hp.get("temperature", self.temperature)
         ancs, poss, negs = batch["user"], batch["pos"], batch["neg"]
         embeds, gcn_list, hyper_list = self.forward(params, key, self.keep_rate)
         u_emb, i_emb = embeds[: self.user_num], embeds[self.user_num:]
@@ -87,10 +97,10 @@ class HCCF(RecModel):
             e1 = jax.lax.stop_gradient(gcn_list[i])
             e2 = hyper_list[i]
             cl = cl + losses.infonce_loss_spec_nodes(
-                e1[: self.user_num], e2[: self.user_num], ancs, self.temperature)
+                e1[: self.user_num], e2[: self.user_num], ancs, temperature)
             cl = cl + losses.infonce_loss_spec_nodes(
-                e1[self.user_num:], e2[self.user_num:], poss, self.temperature)
-        cl = cl * self.cl_weight
+                e1[self.user_num:], e2[self.user_num:], poss, temperature)
+        cl = cl * cl_weight
         reg = self.reg_weight * losses.reg_params(params)
         return bpr + cl + reg, {"bpr_loss": bpr, "reg_loss": reg, "cl_loss": cl}
 

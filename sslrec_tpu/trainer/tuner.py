@@ -77,58 +77,86 @@ def vmapped_grid_search(cfg, data, logger, n_parallel):
     if not trials:
         return None
     tuned = set(cfg.tune.get("hyperparameters", ()))
-    probe = build_model(trials[0][0], data)
-    if (not hasattr(probe, "hparams")
-            or not tuned <= set(probe.hparams())
-            or (getattr(probe, "train_trans", False) and hasattr(probe, "kg_loss"))
-            or (hasattr(probe, "epoch_state")
-                and not hasattr(probe, "epoch_state_fn"))
+    probe0 = build_model(trials[0][0], data)
+    if (not hasattr(probe0, "hparams")
+            or (getattr(probe0, "train_trans", False) and hasattr(probe0, "kg_loss"))
+            or (hasattr(probe0, "epoch_state")
+                and not hasattr(probe0, "epoch_state_fn"))
             or cfg.train.get("mesh")):
         return None
+    # hypers outside hparams() are STRUCTURAL (layer counts etc.): they cannot
+    # ride a traced lane, so trials are grouped by their structural assignment
+    # and vmapped within each group (one compiled program per group)
+    structural = sorted(tuned - set(probe0.hparams()))
+    groups: dict = {}
+    for t in trials:
+        groups.setdefault(tuple((h, t[1][h]) for h in structural), []).append(t)
+    if len(groups) >= len(trials):
+        return None  # every trial its own group — vmapping buys nothing
 
     metric0 = cfg.test.metrics[0]
     k0 = int(cfg.test.k[0])
-    n_trials = len(trials)
-    logger.log(f"tune: vmapped grid search, {n_trials} trials x "
-               f"{n_parallel} per program")
-
-    # build the trainer/epoch fn and ALL jitted wrappers ONCE: jit caches key
-    # on the function object, so per-chunk construction would re-trace and
-    # re-compile the K-lane program for every chunk (the padded tail exists
-    # precisely so one compiled program serves the whole grid)
-    trainer = Trainer(trials[0][0], probe, data, logger=_Silent())
-    epoch_fn = trainer._build_epoch_fn()  # (params, opt, key, aux, arrays, hp)
-    has_aux = hasattr(probe, "epoch_state")
-    aux_axes = 0 if has_aux else None
-    ctx = {
-        "trainer": trainer, "epoch_fn": epoch_fn,
-        "arrays": trainer._train_arrays,
-        "vm_epoch": jax.jit(jax.vmap(epoch_fn,
-                                     in_axes=(0, 0, None, aux_axes, None, 0)),
-                            donate_argnums=(0, 1)),
-        "has_aux": has_aux,
-    }
-    if has_aux:
-        ctx["vm_aux"] = jax.jit(jax.vmap(probe.epoch_state_fn, in_axes=(0, None)))
-        ctx["period"] = int(getattr(probe, "epoch_state_period", 1) or 1)
-    eval_split = data.valid if data.valid is not None else data.test
-    ctx["vm_eval"] = jax.jit(jax.vmap(Evaluator(probe, eval_split, cfg)._eval_all))
-    ctx["vm_test"] = jax.jit(jax.vmap(Evaluator(probe, data.test, cfg)._eval_all))
-    ctx["denom"] = float(eval_split.n_test_users)
+    logger.log(f"tune: vmapped grid search, {len(trials)} trials in "
+               f"{len(groups)} structural group(s) x {n_parallel} lanes")
 
     results = []  # (test_score, assignment)
-    for lo in range(0, n_trials, n_parallel):
-        chunk = trials[lo:lo + n_parallel]
-        real = len(chunk)
-        # pad the tail chunk by repeating its last trial so every chunk runs at
-        # the same K and reuses ONE compiled program; padded lanes are dropped
-        chunk = chunk + [chunk[-1]] * (n_parallel - real)
-        scores = _run_vmapped_chunk(cfg, data, logger, chunk, probe, ctx)
-        for i in range(real):
-            assignment = chunk[i][1]
-            score = float(scores[i])
-            logger.log(f"tune trial {assignment} -> {metric0}@{k0} = {score:.5f}")
-            results.append((score, assignment))
+    for gkey, gtrials in groups.items():
+        # one probe + ONE set of jitted wrappers per structural group: jit
+        # caches key on the function object, so per-chunk construction would
+        # re-trace and re-compile the K-lane program for every chunk (the
+        # padded tail exists precisely so one program serves the whole group)
+        probe = build_model(gtrials[0][0], data)
+        trainer = Trainer(gtrials[0][0], probe, data, logger=_Silent())
+        epoch_fn = trainer._build_epoch_fn()
+        has_aux = hasattr(probe, "epoch_state")
+        aux_axes = 0 if has_aux else None
+        ctx = {
+            "trainer": trainer, "epoch_fn": epoch_fn,
+            "arrays": trainer._train_arrays,
+            "vm_epoch": jax.jit(jax.vmap(epoch_fn,
+                                         in_axes=(0, 0, None, aux_axes, None, 0)),
+                                donate_argnums=(0, 1)),
+            "has_aux": has_aux,
+        }
+        if has_aux:
+            ctx["vm_aux"] = jax.jit(jax.vmap(probe.epoch_state_fn,
+                                             in_axes=(0, None)))
+            ctx["period"] = int(getattr(probe, "epoch_state_period", 1) or 1)
+        eval_split = data.valid if data.valid is not None else data.test
+        ctx["vm_eval"] = jax.jit(jax.vmap(
+            Evaluator(probe, eval_split, cfg)._eval_all))
+        ctx["vm_test"] = jax.jit(jax.vmap(
+            Evaluator(probe, data.test, cfg)._eval_all))
+        ctx["denom"] = float(eval_split.n_test_users)
+        if gkey:
+            logger.log(f"tune group {dict(gkey)}: {len(gtrials)} trials")
+
+        k_eff = n_parallel
+        lo = 0
+        while lo < len(gtrials):
+            chunk = gtrials[lo:lo + k_eff]
+            real = len(chunk)
+            # pad the tail chunk by repeating its last trial so every chunk
+            # runs at the same K; padded lanes are dropped
+            chunk = chunk + [chunk[-1]] * (k_eff - real)
+            try:
+                scores = _run_vmapped_chunk(cfg, data, logger, chunk, probe, ctx)
+            except jax.errors.JaxRuntimeError as e:
+                # K lanes can exceed HBM (e.g. HCCF layer_num=3 x 9 lanes:
+                # per-lane [B, n_items] CL logits); halve and retry — the
+                # jitted wrappers are shape-polymorphic, only a recompile
+                if k_eff == 1:
+                    raise
+                k_eff = max(1, k_eff // 2)
+                logger.log(f"tune chunk failed ({str(e).splitlines()[0][:120]}); "
+                           f"retrying this group at {k_eff} lanes")
+                continue
+            for i in range(real):
+                assignment = chunk[i][1]
+                score = float(scores[i])
+                logger.log(f"tune trial {assignment} -> {metric0}@{k0} = {score:.5f}")
+                results.append((score, assignment))
+            lo += real
 
     best = max(results, key=lambda t: t[0])
     logger.log(f"tune best: {best[1]} ({metric0}@{k0}={best[0]:.5f})")

@@ -60,3 +60,19 @@ def test_model_trains(name, tiny_bundle):
         assert vals.shape == (2,)
         assert np.isfinite(vals).all(), (name, m, vals)
         assert (vals >= 0).all() and (vals <= 1.0 + 1e-6).all()
+
+
+@pytest.mark.parametrize("aug", ["node_drop", "random_walk"])
+def test_sgl_augmentation_variants(aug, tiny_bundle):
+    """SGL's non-default augmentations: node_drop and the per-layer
+    random_walk resample (a 2-D edge-weight stack through spmm_views)."""
+    overrides = dict(SMALL)
+    overrides["model.augmentation"] = aug
+    cfg = load_config("sgl", overrides=overrides)
+    model = build_model(cfg, tiny_bundle)
+    trainer = Trainer(cfg, model, tiny_bundle, logger=_Silent())
+    params = model.init_params(jax.random.PRNGKey(0))
+    opt_state = trainer.optimizer.init(params)
+    params, opt_state, aux = trainer.train_epoch(params, opt_state,
+                                                 jax.random.PRNGKey(1), 0)
+    assert np.isfinite(jax.device_get(aux)["loss"]), (aug, aux)

@@ -99,3 +99,28 @@ def test_vmapped_grid_search_falls_back_without_hparams():
     score, assignment = grid_search(cfg, data, logger)
     assert np.isfinite(score)
     assert any("falling back" in ln for ln in logger.lines)
+
+
+def test_vmapped_grid_search_structural_groups():
+    """Tuned hypers outside hparams() (layer_num) group the trials; traceable
+    ones (cl_weight) vmap within each group. Scores must match serial."""
+    data = _make_bundle(4)
+    base = {
+        "train.epoch": 3, "train.batch_size": 128, "train.test_step": 1,
+        "test.batch_size": 16, "test.k": [5],
+        "model.embedding_size": 8, "model.hyper_num": 8,
+        "tune.enable": True,
+        "tune.hyperparameters": ["layer_num", "cl_weight"],
+        "tune.layer_num": [1, 2],
+        "tune.cl_weight": [0.01, 1.0],
+    }
+    slog, vlog = _RecordingLogger(), _RecordingLogger()
+    grid_search(load_config("hccf", overrides=base), data, slog)
+    grid_search(load_config("hccf", overrides={**base, "tune.parallel": 2}),
+                data, vlog)
+    assert not any("falling back" in ln for ln in vlog.lines)
+    assert any("structural group" in ln for ln in vlog.lines)
+    ser, par = _parse_trial_scores(slog.lines), _parse_trial_scores(vlog.lines)
+    assert set(ser) == set(par) and len(ser) == 4
+    for a in ser:
+        assert abs(ser[a] - par[a]) < 5e-3, (a, ser[a], par[a])
