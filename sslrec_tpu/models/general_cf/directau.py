@@ -36,13 +36,18 @@ class DirectAU(RecModel):
         acc = (embeds + ys.sum(axis=0)) / (self.layer_num + 1)  # mean (directau.py:37)
         return acc[: self.user_num], acc[self.user_num:]
 
+    def hparams(self):
+        """Traced loss scalar for the shipped grid (layer_num structural)."""
+        return {"gamma": jnp.float32(self.gamma)}
+
     def loss(self, params, batch, key):
+        gamma = batch.get("hp", {}).get("gamma", self.gamma)
         user_embeds, item_embeds = self.propagate(params)
         anc = user_embeds[batch["user"]]
         pos = item_embeds[batch["pos"]]
         align = losses.alignment_loss(anc, pos)
-        uniform = self.gamma * (losses.uniformity_loss(anc)
-                                + losses.uniformity_loss(pos)) / 2.0
+        uniform = gamma * (losses.uniformity_loss(anc)
+                           + losses.uniformity_loss(pos)) / 2.0
         return align + uniform, {"align_loss": align, "uniform_loss": uniform}
 
     def generate(self, params):

@@ -45,13 +45,19 @@ class LightGCN(RecModel):
         ew = augment.edge_drop(key, self.adj, self.keep_rate)
         return self.propagate(params, edge_weight=ew)
 
+    def hparams(self):
+        """Tuned loss scalars traced through ``batch['hp']`` (shipped grid:
+        layer_num is structural, reg_weight rides a lane)."""
+        return {"reg_weight": jnp.float32(self.reg_weight)}
+
     def loss(self, params, batch, key):
+        reg_w = batch.get("hp", {}).get("reg_weight", self.reg_weight)
         user_embeds, item_embeds = self.forward_train(params, key)
         anc = user_embeds[batch["user"]]
         pos = item_embeds[batch["pos"]]
         neg = item_embeds[batch["neg"]]
         bpr = losses.bpr_loss(anc, pos, neg) / anc.shape[0]
-        reg = self.reg_weight * losses.reg_params(params)
+        reg = reg_w * losses.reg_params(params)
         return bpr + reg, {"bpr_loss": bpr, "reg_loss": reg}
 
     def generate(self, params):

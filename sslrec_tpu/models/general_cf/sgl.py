@@ -60,7 +60,17 @@ class SGL(LightGCN):
         acc = x0s + out.sum(axis=1)
         return acc[0], acc[1]
 
+    def hparams(self):
+        """Traced loss scalars for the shipped grid (layer_num structural)."""
+        return {"reg_weight": jnp.float32(self.reg_weight),
+                "cl_weight": jnp.float32(self.cl_weight),
+                "temperature": jnp.float32(self.temperature)}
+
     def loss(self, params, batch, key):
+        hp = batch.get("hp", {})
+        reg_w = hp.get("reg_weight", self.reg_weight)
+        cl_w = hp.get("cl_weight", self.cl_weight)
+        temperature = hp.get("temperature", self.temperature)
         v1, v2 = self._two_views(params, key)
         u1, i1 = v1[: self.user_num], v1[self.user_num:]
         u2, i2 = v2[: self.user_num], v2[self.user_num:]
@@ -68,9 +78,9 @@ class SGL(LightGCN):
 
         ancs, poss, negs = batch["user"], batch["pos"], batch["neg"]
         bpr = losses.bpr_loss(u3[ancs], i3[poss], i3[negs]) / ancs.shape[0]
-        cl = (losses.infonce_loss(u1[ancs], u2[ancs], u2, self.temperature)
-              + losses.infonce_loss(i1[poss], i2[poss], i2, self.temperature)
-              + losses.infonce_loss(i1[negs], i2[negs], i2, self.temperature))
-        cl = cl / ancs.shape[0] * self.cl_weight
-        reg = self.reg_weight * losses.reg_params(params)
+        cl = (losses.infonce_loss(u1[ancs], u2[ancs], u2, temperature)
+              + losses.infonce_loss(i1[poss], i2[poss], i2, temperature)
+              + losses.infonce_loss(i1[negs], i2[negs], i2, temperature))
+        cl = cl / ancs.shape[0] * cl_w
+        reg = reg_w * losses.reg_params(params)
         return bpr + cl + reg, {"bpr_loss": bpr, "reg_loss": reg, "cl_loss": cl}
