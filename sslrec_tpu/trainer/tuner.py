@@ -144,8 +144,10 @@ def vmapped_grid_search(cfg, data, logger, n_parallel):
             except jax.errors.JaxRuntimeError as e:
                 # K lanes can exceed HBM (e.g. HCCF layer_num=3 x 9 lanes:
                 # per-lane [B, n_items] CL logits); halve and retry — the
-                # jitted wrappers are shape-polymorphic, only a recompile
-                if k_eff == 1:
+                # jitted wrappers are shape-polymorphic, only a recompile.
+                # UNAVAILABLE means the device/worker itself died: nothing
+                # in-process can recover that, so don't burn retries on it.
+                if k_eff == 1 or "UNAVAILABLE" in str(e):
                     raise
                 k_eff = max(1, k_eff // 2)
                 logger.log(f"tune chunk failed ({str(e).splitlines()[0][:120]}); "
