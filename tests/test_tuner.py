@@ -91,8 +91,35 @@ def test_vmapped_grid_search_matches_serial():
     assert abs(best_s[0] - best_v[0]) < 5e-3
 
 
-def test_vmapped_grid_search_falls_back_without_hparams():
-    # lightgcn has no hparams() hook → tune.parallel must fall back to serial
+def test_vmapped_grid_search_simgcl_eps_lane():
+    """SimGCL's hparams() exposes eps (noise scale) as a traced lane scalar —
+    the shipped 96-trial grid must vmap to 2 structural groups, and per-trial
+    scores must match the serial loop."""
+    data = _make_bundle(6)
+    base = {
+        "train.epoch": 4, "train.batch_size": 128, "train.test_step": 1,
+        "train.patience": 2, "test.batch_size": 16, "test.k": [5],
+        "model.embedding_size": 8, "model.layer_num": 2,
+        "tune.enable": True,
+        "tune.hyperparameters": ["cl_weight", "eps"],
+        "tune.cl_weight": [1.0e-2, 1.0e-1],
+        "tune.eps": [0.1, 0.9],
+    }
+    slog, vlog = _RecordingLogger(), _RecordingLogger()
+    best_s = grid_search(load_config("simgcl", overrides=base), data, slog)
+    best_v = grid_search(load_config("simgcl", overrides={**base, "tune.parallel": 4}),
+                         data, vlog)
+    assert not any("falling back" in ln for ln in vlog.lines)
+    ser, par = _parse_trial_scores(slog.lines), _parse_trial_scores(vlog.lines)
+    assert set(ser) == set(par) and len(ser) == 4
+    for a in ser:
+        assert abs(ser[a] - par[a]) < 5e-3, (a, ser[a], par[a])
+    assert best_s[1] == best_v[1]
+
+
+def test_vmapped_grid_search_falls_back_without_vmap_benefit():
+    # every trial lands in its own structural group (reg_weight has 1 value,
+    # layer_num is structural) → vmapping buys nothing → serial fallback
     cfg = _tune_cfg().replace(tune={"parallel": 2})
     data = _make_bundle(5)
     logger = _RecordingLogger()
