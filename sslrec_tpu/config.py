@@ -181,9 +181,6 @@ def load_config(
     merged = _deep_merge(_DEFAULTS, raw)
     if dataset is not None:
         merged["data"] = _deep_merge(merged["data"], {"name": dataset})
-    # early_stop derived from patience (reference: configurator.py:47-51)
-    patience = merged["train"].get("patience", 0)
-    merged["train"]["early_stop"] = bool(patience and patience > 0)
     cfg = Config(merged)
     if overrides:
         for k, v in overrides.items():
@@ -191,6 +188,14 @@ def load_config(
                 cfg = cfg.replace(**{k: v})
             else:
                 cfg = cfg.set_path(k, v)
+    # early_stop derived from patience (reference: configurator.py:47-51) —
+    # AFTER overrides so `--set train.patience=5` enables early stopping on a
+    # config that ships without one; an explicit early_stop override wins
+    explicit = "train.early_stop" in (overrides or {}) or \
+        "early_stop" in (raw.get("train") or {})
+    if not explicit:
+        patience = cfg.train.get("patience", 0)
+        cfg = cfg.set_path("train.early_stop", bool(patience and patience > 0))
     return cfg
 
 

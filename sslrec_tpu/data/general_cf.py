@@ -82,12 +82,32 @@ def bundle_from_matrices(trn_mat: sp.spmatrix, val_mat: sp.spmatrix | None,
     )
 
 
+def _mats_from_txt(d: str):
+    """CF splits in the KG line format (``u i1 i2 ...``) → scipy matrices.
+
+    Lets pure-CF models train on a KG dataset's derived interaction splits
+    (tools/split_kg.py) so SSL-KG models have a plain-CF baseline row on the
+    *same* split (VERDICT r2 item 1)."""
+    from sslrec_tpu.data.kg import read_cf
+
+    def mat(pairs, shape):
+        return sp.coo_matrix((np.ones(len(pairs), np.float32),
+                              (pairs[:, 0], pairs[:, 1])), shape=shape)
+
+    trn = read_cf(os.path.join(d, "train.txt"))
+    tst = read_cf(os.path.join(d, "test.txt"))
+    vp = os.path.join(d, "valid.txt")
+    val = read_cf(vp) if os.path.exists(vp) else None
+    splits = [trn, tst] + ([val] if val is not None else [])
+    n_users = int(max(s[:, 0].max() for s in splits) + 1)
+    n_items = int(max(s[:, 1].max() for s in splits) + 1)
+    shape = (n_users, n_items)
+    return (mat(trn, shape), mat(val, shape) if val is not None else None,
+            mat(tst, shape))
+
+
 def load(cfg) -> DataBundle:
     d = _dataset_dir(cfg)
-    trn = load_one_mat(os.path.join(d, "train_mat.pkl"))
-    tst = load_one_mat(os.path.join(d, "test_mat.pkl"))
-    val_path = os.path.join(d, "valid_mat.pkl")
-    val = load_one_mat(val_path) if os.path.exists(val_path) else None
     # Pallas spmm defaults ON for the scan-refactored family: all their hops
     # and views share ONE (or a few) kernel instances per program
     # (ops/spmm.spmm_layers / model-local lax.scan), which removed the
@@ -98,4 +118,15 @@ def load(cfg) -> DataBundle:
     # stay opt-in.
     scanned_family = ("lightgcn", "sgl", "simgcl", "ncl", "directau", "hccf")
     use_pallas = cfg.model.get("use_pallas", cfg.model.name in scanned_family)
+    if not os.path.exists(os.path.join(d, "train_mat.pkl")):
+        # derived txt splits live under the kg/ layout
+        root = cfg.data.get("dir") or _DEFAULT_DATA_ROOT
+        kg_dir = os.path.join(root, "kg", f"{cfg.data.name}_kg")
+        if os.path.exists(os.path.join(kg_dir, "train.txt")):
+            trn, val, tst = _mats_from_txt(kg_dir)
+            return bundle_from_matrices(trn, val, tst, use_pallas)
+    trn = load_one_mat(os.path.join(d, "train_mat.pkl"))
+    tst = load_one_mat(os.path.join(d, "test_mat.pkl"))
+    val_path = os.path.join(d, "valid_mat.pkl")
+    val = load_one_mat(val_path) if os.path.exists(val_path) else None
     return bundle_from_matrices(trn, val, tst, use_pallas)

@@ -151,17 +151,39 @@ def _dataset_dir(cfg) -> str:
     return os.path.join(root, "kg", f"{name}_kg")
 
 
+def _resolve(d: str, fname: str) -> str:
+    """Find a dataset file in ``d``, falling back to the read-only reference
+    directory of the same dataset — derived split dirs (tools/split_kg.py)
+    carry train/valid/test.txt but not the 3.8 MB kg_final.txt."""
+    p = os.path.join(d, fname)
+    if os.path.exists(p):
+        return p
+    fallback = os.path.join(_DEFAULT_DATA_ROOT, "kg", os.path.basename(d), fname)
+    if os.path.exists(fallback):
+        return fallback
+    return p  # let the open() raise with the primary path
+
+
 def load(cfg) -> DataBundle:
     d = _dataset_dir(cfg)
-    train_cf = read_cf(os.path.join(d, "train.txt"))
-    test_cf = read_cf(os.path.join(d, "test.txt"))
-    triplets, n_entities, n_relations = read_triplets(os.path.join(d, "kg_final.txt"))
-    return bundle_from_kg(cfg, train_cf, test_cf, triplets, n_entities, n_relations)
+    train_cf = read_cf(_resolve(d, "train.txt"))
+    test_cf = read_cf(_resolve(d, "test.txt"))
+    valid_cf = None
+    vp = os.path.join(d, "valid.txt")  # only derived splits have one
+    if os.path.exists(vp):
+        valid_cf = read_cf(vp)
+    triplets, n_entities, n_relations = read_triplets(_resolve(d, "kg_final.txt"))
+    return bundle_from_kg(cfg, train_cf, test_cf, triplets, n_entities,
+                          n_relations, valid_cf=valid_cf)
 
 
-def bundle_from_kg(cfg, train_cf, test_cf, triplets, n_entities, n_relations) -> DataBundle:
+def bundle_from_kg(cfg, train_cf, test_cf, triplets, n_entities, n_relations,
+                   valid_cf=None) -> DataBundle:
     n_users = int(max(train_cf[:, 0].max(), test_cf[:, 0].max()) + 1)
     n_items = int(max(train_cf[:, 1].max(), test_cf[:, 1].max()) + 1)
+    if valid_cf is not None and len(valid_cf):
+        n_users = max(n_users, int(valid_cf[:, 0].max() + 1))
+        n_items = max(n_items, int(valid_cf[:, 1].max() + 1))
 
     train_dict = defaultdict(list)
     for u, i in train_cf:
@@ -171,6 +193,12 @@ def bundle_from_kg(cfg, train_cf, test_cf, triplets, n_entities, n_relations) ->
         test_dict[int(u)].append(int(i))
 
     test_eval, trn_mat = _eval_from_dicts(train_dict, test_dict, n_users, n_items)
+    valid_eval = None
+    if valid_cf is not None and len(valid_cf):
+        valid_dict = defaultdict(list)
+        for u, i in valid_cf:
+            valid_dict[int(u)].append(int(i))
+        valid_eval, _ = _eval_from_dicts(train_dict, valid_dict, n_users, n_items)
     trn_coo = trn_mat.tocoo()
     order = np.lexsort((trn_coo.col, trn_coo.row))
 
@@ -194,7 +222,7 @@ def bundle_from_kg(cfg, train_cf, test_cf, triplets, n_entities, n_relations) ->
         train_users=jnp.asarray(trn_coo.row[order], dtype=jnp.int32),
         train_items=jnp.asarray(trn_coo.col[order], dtype=jnp.int32),
         train_edge_set=sparse_ops.build_edge_set(trn_mat),
-        valid=None,
+        valid=valid_eval,
         test=test_eval,
         extras=extras,
     )

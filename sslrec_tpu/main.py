@@ -25,6 +25,11 @@ from sslrec_tpu.utils import checkpoint as ckpt
 
 def main(argv=None):
     cfg = parse_cli(argv)
+    if "results_dir" not in cfg.train:
+        # CLI runs always write a committed evidence artifact (results/*.json:
+        # config + seed + trajectory + final metrics); library/test use stays
+        # silent unless train.results_dir is set explicitly
+        cfg = cfg.set_path("train.results_dir", "results")
     from sslrec_tpu.parallel.mesh import maybe_distributed_init
     maybe_distributed_init(cfg)  # multi-host (DCN) gate; no-op unless configured
     logger = Logger(cfg)

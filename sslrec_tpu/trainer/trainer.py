@@ -345,19 +345,24 @@ class Trainer:
         n_epochs = int(cfg.train.epoch)
 
         from sslrec_tpu.utils.summary import make_writer
+        from sslrec_tpu.utils.results import RunRecorder
         writer = make_writer(cfg)
+        recorder = RunRecorder(cfg)
+        self.recorder = recorder
 
         now = time.time()
         save_every = int(cfg.train.get("save_state_every", 0) or 0)
         for epoch in range(start_epoch, n_epochs):
             ekey = jax.random.fold_in(root_key, epoch)
             params, opt_state, losses = self.train_epoch(params, opt_state, ekey, epoch)
+            losses_host = jax.device_get(losses)
             if cfg.train.get("log_loss", True):
-                self.logger.log_loss(epoch, jax.device_get(losses))
-            writer.add_scalar("Loss/train",
-                              float(jax.device_get(losses)["loss"]), epoch)
+                self.logger.log_loss(epoch, losses_host)
+            writer.add_scalar("Loss/train", float(losses_host["loss"]), epoch)
+            epoch_valid = None
             if epoch % test_step == 0:
                 results = evaluator(params)
+                epoch_valid = results
                 writer.add_scalar("HR/test", float(results[metric0][0]), epoch)
                 self.logger.log_eval(results, cfg.test.k, epoch=epoch,
                                      name=f"(valid, {time.time()-now:.1f}s)")
@@ -372,7 +377,9 @@ class Trainer:
                 if early_stop and wait >= patience:
                     self.logger.log(f"Early stop at epoch {epoch} "
                                     f"(best {metric0}@{cfg.test.k[0]}={best_metric:.5f})")
+                    recorder.record_epoch(epoch, losses_host, epoch_valid)
                     break
+            recorder.record_epoch(epoch, losses_host, epoch_valid)
             # state save AFTER the eval/best update so a resumed run carries
             # the exact bookkeeping the uninterrupted run had at this point
             if save_every and (epoch + 1) % save_every == 0:
@@ -392,6 +399,9 @@ class Trainer:
         self.logger.log_eval(final_valid, cfg.test.k, name="(best valid)")
         test_results = test_evaluator(best_params)
         self.logger.log_eval(test_results, cfg.test.k, name="(test)")
+        rpath = recorder.finalize(best_valid=final_valid, test=test_results)
+        if rpath:
+            self.logger.log(f"wrote results artifact {rpath}")
         if cfg.train.get("save_model", False):
             ckpt.save(self._ckpt_path(), best_params)
             self.logger.log(f"saved checkpoint to {self._ckpt_path()}")

@@ -48,19 +48,50 @@ def grid_search(cfg, data, logger):
     return _serial_grid_search(cfg, data, logger)
 
 
+def _write_grid_artifact(cfg, results, best, mode):
+    """Durable evidence for a tuned BASELINE row: every trial's assignment and
+    test score, written next to the per-run artifacts (results/*.json)."""
+    out_dir = str(cfg.train.get("results_dir", "") or "")
+    if not out_dir:
+        return None
+    import json, os, time
+    os.makedirs(out_dir, exist_ok=True)
+    p = os.path.join(out_dir, f"{cfg.model.name}_{cfg.data.name}_tune.json")
+    with open(p, "w") as f:
+        json.dump({
+            "model": cfg.model.name, "dataset": cfg.data.name, "mode": mode,
+            "seed": int(cfg.train.seed),
+            "metric": f"{cfg.test.metrics[0]}@{cfg.test.k[0]}",
+            "grid": {h: list(cfg.tune[h])
+                     for h in cfg.tune.get("hyperparameters", ())},
+            "trials": [{"assignment": a, "score": s} for s, a in results],
+            "best": {"assignment": best[1], "score": best[0]},
+            "written_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+        }, f, indent=1)
+    return p
+
+
 def _serial_grid_search(cfg, data, logger):
     best = None
+    results = []
     metric0 = cfg.test.metrics[0]
     for trial_cfg, assignment in trial_configs(cfg):
         logger.log(f"tune trial: {assignment}")
         model = build_model(trial_cfg, data)
-        trainer = Trainer(trial_cfg, model, data, logger)
+        # per-trial run artifacts would overwrite each other (same deterministic
+        # filename); the grid artifact below is the tune evidence instead
+        trainer = Trainer(trial_cfg.set_path("train.results_dir", ""),
+                          model, data, logger)
         trainer.train()
         score = float(trainer.test_results[metric0][0])
         logger.log(f"tune trial {assignment} -> {metric0}@{trial_cfg.test.k[0]} = {score:.5f}")
+        results.append((score, assignment))
         if best is None or score > best[0]:
             best = (score, assignment)
     logger.log(f"tune best: {best[1]} ({metric0}@{cfg.test.k[0]}={best[0]:.5f})")
+    p = _write_grid_artifact(cfg, results, best, mode="serial")
+    if p:
+        logger.log(f"wrote tune artifact {p}")
     return best
 
 
@@ -162,6 +193,9 @@ def vmapped_grid_search(cfg, data, logger, n_parallel):
 
     best = max(results, key=lambda t: t[0])
     logger.log(f"tune best: {best[1]} ({metric0}@{k0}={best[0]:.5f})")
+    p = _write_grid_artifact(cfg, results, best, mode="vmapped")
+    if p:
+        logger.log(f"wrote tune artifact {p}")
     return best
 
 
