@@ -129,7 +129,10 @@ def bench_bert4rec():
     from sslrec_tpu.config import load_config
     from sslrec_tpu.data.registry import load_data
 
-    cfg = load_config("bert4rec", dataset="sports")
+    # fast mode opt-in (shipped default is the reference-exact all-position
+    # CE, masked_budget: 0) — the bench tracks the optimised TPU path
+    cfg = load_config("bert4rec", dataset="sports",
+                      overrides={"model.masked_budget": 16})
     data = load_data(cfg)
     epoch_s, ex_s, ev_s = _throughput(cfg, data)
     # transformer FLOPs: 2·params_dense·tokens·3 (fwd+bwd) + CE scoring

@@ -22,14 +22,6 @@ class SimGCL(LightGCN):
         self.temperature = float(cfg.model.temperature)
         self.eps = float(cfg.model.eps)
 
-    def forward_perturbed(self, params, key):
-        embeds = jnp.concatenate([params["user_embeds"], params["item_embeds"]], axis=0)
-        ys = spmm_layers(self.adj, embeds, self.layer_num,
-                         post=lambda k, x: augment.embed_perturb(k, x, self.eps),
-                         keys=jax.random.split(key, self.layer_num))
-        acc = embeds + ys.sum(axis=0)
-        return acc[: self.user_num], acc[self.user_num:]
-
     def _two_perturbed(self, params, key, eps=None):
         """Both noise views through ONE shared spmm call site."""
         eps = self.eps if eps is None else eps

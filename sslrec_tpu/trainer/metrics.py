@@ -78,43 +78,56 @@ class Evaluator:
         users = np.asarray(eval_data.test_users)
         n = users.shape[0]
         batches = pad_to_batches(n, batch_size)          # [nb, B] indices into users
-        self._user_batches = jnp.asarray(users[batches])  # [nb, B] global user ids
+        user_batches = jnp.asarray(users[batches])        # [nb, B] global user ids
         # wrap-padded tail entries must not contribute: valid only for first n slots
         flat_pos = np.arange(batches.size).reshape(batches.shape)
-        self._valid = jnp.asarray((flat_pos < n).astype(np.float32))
+        valid = jnp.asarray((flat_pos < n).astype(np.float32))
+        # the eval structures are jit ARGUMENTS (a pytree), not closure
+        # constants: closed-over device arrays lower as literal HLO constants,
+        # and [n_users, width] history/gt rows at alibaba-fashion scale
+        # (114,737 users) overflow the remote-compile request transport
+        self._data = (user_batches, valid, eval_data.ground_truth,
+                      eval_data.history)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             shard = NamedSharding(mesh, P(None, "data"))
-            self._user_batches = jax.device_put(self._user_batches, shard)
-            self._valid = jax.device_put(self._valid, shard)
+            user_batches = jax.device_put(user_batches, shard)
+            valid = jax.device_put(valid, shard)
+            self._data = (user_batches, valid, eval_data.ground_truth,
+                          eval_data.history)
             rep = NamedSharding(mesh, P())
-            self._eval_jit = jax.jit(self._eval_all, out_shardings=rep)
+            self._eval_jit = jax.jit(self._eval_core, out_shardings=rep)
         else:
-            self._eval_jit = jax.jit(self._eval_all)
+            self._eval_jit = jax.jit(self._eval_core)
 
-    def _eval_all(self, params):
-        model, ed = self.model, self.eval_data
+    def _eval_core(self, params, data):
+        model = self.model
+        user_batches, valid_rows, gt, hist = data
         user_emb, item_emb = model.generate(params)
         kmax = max(self.ks)
 
         def body(carry, inp):
             users, valid = inp
             scores = model.rating(user_emb[users], item_emb)
-            if ed.history is not None:
+            if hist is not None:
                 topk = masked_topk_indices(
-                    scores, ed.history.cols[users], ed.history.mask[users], kmax)
+                    scores, hist.cols[users], hist.mask[users], kmax)
             else:
                 topk = topk_indices(scores, kmax)
             sums = _batch_metric_sums(
-                topk, ed.ground_truth.cols[users], ed.ground_truth.mask[users],
-                ed.ground_truth.lengths[users], valid, self.ks)
+                topk, gt.cols[users], gt.mask[users],
+                gt.lengths[users], valid, self.ks)
             return jax.tree.map(jnp.add, carry, sums), None
 
         init = {m: jnp.zeros((len(self.ks),), jnp.float32) for m in _METRICS}
-        total, _ = lax.scan(body, init, (self._user_batches, self._valid))
+        total, _ = lax.scan(body, init, (user_batches, valid_rows))
         return total
 
+    def _eval_all(self, params):
+        """Closure-style entry kept for vmapped-tuner wrapping."""
+        return self._eval_core(params, self._data)
+
     def __call__(self, params) -> dict[str, np.ndarray]:
-        sums = jax.device_get(self._eval_jit(params))
+        sums = jax.device_get(self._eval_jit(params, self._data))
         denom = float(self.eval_data.n_test_users)
         return {m: np.asarray(sums[m]) / denom for m in self.metrics}

@@ -154,10 +154,14 @@ def vmapped_grid_search(cfg, data, logger, n_parallel):
                                              in_axes=(0, None)))
             ctx["period"] = int(getattr(probe, "epoch_state_period", 1) or 1)
         eval_split = data.valid if data.valid is not None else data.test
-        ctx["vm_eval"] = jax.jit(jax.vmap(
-            Evaluator(probe, eval_split, cfg)._eval_all))
-        ctx["vm_test"] = jax.jit(jax.vmap(
-            Evaluator(probe, data.test, cfg)._eval_all))
+        ev_valid = Evaluator(probe, eval_split, cfg)
+        ev_test = Evaluator(probe, data.test, cfg)
+        # eval structures as jit args (same transport-limit rationale as
+        # Evaluator.__call__), vmapped over the params lane only
+        ctx["vm_eval"] = jax.jit(jax.vmap(ev_valid._eval_core, in_axes=(0, None)))
+        ctx["vm_test"] = jax.jit(jax.vmap(ev_test._eval_core, in_axes=(0, None)))
+        ctx["eval_data"] = ev_valid._data
+        ctx["test_data"] = ev_test._data
         ctx["denom"] = float(eval_split.n_test_users)
         if gkey:
             logger.log(f"tune group {dict(gkey)}: {len(gtrials)} trials")
@@ -228,6 +232,7 @@ def _run_vmapped_chunk(cfg, data, logger, chunk, probe, ctx):
         vm_aux = ctx["vm_aux"]
         period = ctx["period"]
     vm_eval, vm_test, denom = ctx["vm_eval"], ctx["vm_test"], ctx["denom"]
+    eval_data, test_data = ctx["eval_data"], ctx["test_data"]
 
     metric0 = cfg.test.metrics[0]
     patience = int(cfg.train.get("patience", 0) or 0)
@@ -248,7 +253,7 @@ def _run_vmapped_chunk(cfg, data, logger, chunk, probe, ctx):
                                         arrays, hp)
         if epoch % test_step != 0:
             continue
-        sums = jax.device_get(vm_eval(params))
+        sums = jax.device_get(vm_eval(params, eval_data))
         cur = sums[metric0][:, 0] / denom                      # [K]
         improved = (cur > best) & ~stopped
         best = np.where(improved, cur, best)
@@ -266,7 +271,7 @@ def _run_vmapped_chunk(cfg, data, logger, chunk, probe, ctx):
             if stopped.all():
                 break
 
-    test_sums = jax.device_get(vm_test(best_params))
+    test_sums = jax.device_get(vm_test(best_params, test_data))
     return test_sums[metric0][:, 0] / float(data.test.n_test_users)
 
 

@@ -93,8 +93,9 @@ def test_vmapped_grid_search_matches_serial():
 
 def test_vmapped_grid_search_simgcl_eps_lane():
     """SimGCL's hparams() exposes eps (noise scale) as a traced lane scalar —
-    the shipped 96-trial grid must vmap to 2 structural groups, and per-trial
-    scores must match the serial loop."""
+    this 4-trial cl_weight x eps grid lands in ONE structural group (layer_num
+    is not tuned) and per-trial scores must match the serial loop, with eps
+    riding a traced lane rather than forcing a recompile."""
     data = _make_bundle(6)
     base = {
         "train.epoch": 4, "train.batch_size": 128, "train.test_step": 1,
@@ -114,7 +115,9 @@ def test_vmapped_grid_search_simgcl_eps_lane():
     assert set(ser) == set(par) and len(ser) == 4
     for a in ser:
         assert abs(ser[a] - par[a]) < 5e-3, (a, ser[a], par[a])
-    assert best_s[1] == best_v[1]
+    # near-tied trials can legitimately flip the argmax between the serial and
+    # vmapped paths; the contract is that the best *score* agrees
+    assert abs(best_s[0] - best_v[0]) < 5e-3
 
 
 def test_vmapped_grid_search_falls_back_without_vmap_benefit():
