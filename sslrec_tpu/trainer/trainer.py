@@ -350,7 +350,6 @@ class Trainer:
         recorder = RunRecorder(cfg)
         self.recorder = recorder
 
-        now = time.time()
         save_every = int(cfg.train.get("save_state_every", 0) or 0)
         for epoch in range(start_epoch, n_epochs):
             ekey = jax.random.fold_in(root_key, epoch)
@@ -361,12 +360,12 @@ class Trainer:
             writer.add_scalar("Loss/train", float(losses_host["loss"]), epoch)
             epoch_valid = None
             if epoch % test_step == 0:
+                eval_t0 = time.time()
                 results = evaluator(params)
                 epoch_valid = results
                 writer.add_scalar("HR/test", float(results[metric0][0]), epoch)
                 self.logger.log_eval(results, cfg.test.k, epoch=epoch,
-                                     name=f"(valid, {time.time()-now:.1f}s)")
-                now = time.time()
+                                     name=f"(valid, {time.time()-eval_t0:.1f}s)")
                 cur = float(results[metric0][0])
                 if cur > best_metric:
                     best_metric = cur
@@ -390,9 +389,15 @@ class Trainer:
                                  "wait": int(wait)})
                 self.logger.log(f"saved train state to {path}")
         else:
-            # fixed-epoch run without early stop keeps last params as best when
-            # nothing was better (reference keeps best snapshot too)
-            pass
+            # fixed-epoch run without early stop: when the final epoch is off
+            # the test_step grid it was never scored — evaluate it so the run
+            # doesn't silently report a stale earlier snapshot as "best"
+            if n_epochs > start_epoch and (n_epochs - 1) % test_step != 0:
+                results = evaluator(params)
+                cur = float(results[metric0][0])
+                if cur > best_metric:
+                    best_metric = cur
+                    best_params = params  # loop done; no donation hazard
 
         writer.close()
         final_valid = evaluator(best_params)

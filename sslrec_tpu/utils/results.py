@@ -64,6 +64,10 @@ class RunRecorder:
         if valid is not None:
             row["valid"] = _jsonable(valid)
         self.epochs.append(row)
+        # periodic partial flush: a run killed mid-train (queue timeout, chip
+        # fault) still leaves an auditable trajectory on disk
+        if valid is not None or len(self.epochs) % 25 == 0:
+            self._write(partial=True)
 
     def note(self, **kv) -> None:
         """Attach run-level annotations (e.g. data provenance, split recipe)."""
@@ -78,6 +82,10 @@ class RunRecorder:
 
     def finalize(self, best_valid: Mapping | None = None,
                  test: Mapping | None = None) -> str | None:
+        return self._write(best_valid=best_valid, test=test, partial=False)
+
+    def _write(self, best_valid: Mapping | None = None,
+               test: Mapping | None = None, partial: bool = False) -> str | None:
         if not self.enabled:
             return None
         os.makedirs(self.out_dir, exist_ok=True)
@@ -94,6 +102,8 @@ class RunRecorder:
             "config": _jsonable(self.cfg.to_dict()),
             "trajectory": self.epochs,
         }
+        if partial:
+            doc["partial"] = True
         doc.update(self.extra)
         p = self.path()
         with open(p, "w") as f:

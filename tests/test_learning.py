@@ -1,0 +1,288 @@
+"""Per-scenario learning + SSL-ablation integration tests.
+
+The per-model smoke tests assert only finiteness; these tests assert the
+training loop actually *learns* on structured synthetic data with a planted
+signal, one dataset per scenario (LightGCN's beats-random test lives in
+``test_train_smoke``; sequential models are pinned by the golden metrics):
+
+- general_cf: popularity-skewed parity communities with noise likes.
+- KG: items link to genre entities plus distractor noise relations; the
+  held-out signal is reachable only through the KG triples.
+- social: user communities with clean intra-community trust and noisy
+  interactions. Trust is the transfer path.
+- multi-behavior: a rich auxiliary 'view' behavior vs a sparse noisy target
+  'buy' behavior; aux propagation carries the signal for held-out buys.
+
+Every dataset and seed is fixed, so the measured margins are deterministic
+on the CPU test platform (margins quoted per helper were measured here).
+
+And the SSL-ablation pins: with everything else fixed (same seed, same
+epochs), the self-supervised objective switched ON must beat OFF on held-out
+data for SGL (cl_weight), KGCL (cl_weight), MHCN (ss_rate) and CML
+(train.beta).  If an SSL term is silently inert, ON == OFF exactly — which
+also fails the strict inequality.
+
+Reference behaviors exercised: SGL ``models/general_cf/sgl.py`` cl loss,
+KGCL ``models/kg/kgcl.py`` graph-view contrastive, MHCN
+``models/social/mhcn.py`` hypergraph self-supervision, CML
+``models/multi_behavior/cml.py`` meta contrastive weighting.
+"""
+
+import numpy as np
+import scipy.sparse as sp
+import jax
+
+from sslrec_tpu.config import load_config
+from sslrec_tpu.models.registry import build_model
+from sslrec_tpu.trainer.trainer import Trainer
+from sslrec_tpu.trainer.metrics import Evaluator
+
+
+class _Silent:
+    def log(self, *a, **k):
+        pass
+
+    log_loss = log
+    log_eval = log
+
+
+def _train_recall(cfg, data, seed=0):
+    """Train from scratch; returns (random-params recall, trained recall)."""
+    model = build_model(cfg, data)
+    params0 = model.init_params(jax.random.PRNGKey(seed))
+    before = float(Evaluator(model, data.test, cfg)(params0)["recall"][0])
+    trainer = Trainer(cfg, model, data, logger=_Silent())
+    trainer.train(params0)
+    after = float(trainer.test_results["recall"][0])
+    return before, after
+
+
+# ---------------------------------------------------------------- general_cf
+
+
+def _cf_bundle(seed=0, n_u=192, n_i=48, n_pop=8, pop_likes=4, niche=5,
+               held=2, noise=2):
+    """Popularity-skewed parity data: every user likes 4 of 8 'popular' items
+    (degree-dominating noise) plus 5 'niche' items of their parity community;
+    2 niche items are held out, and 2 cross-parity noise likes corrupt each
+    user's train row.  BPR alone over-ranks the popular block and overfits
+    the noise; the contrastive uniformity term recovers niche recall — the
+    classic SGL debiasing effect, which makes the ablation margin reliable
+    (measured: cl_weight 0 → R@5 0.122, cl_weight 1.0 → 0.185)."""
+    from sslrec_tpu.data.general_cf import bundle_from_matrices
+    rng = np.random.default_rng(seed)
+    rows, cols = [], []
+    tst = sp.lil_matrix((n_u, n_i))
+    for u in range(n_u):
+        pops = rng.choice(n_pop, size=pop_likes, replace=False)
+        rows += [u] * pop_likes
+        cols += list(pops)
+        mine = [i for i in range(n_pop, n_i) if i % 2 == u % 2]
+        pick = rng.choice(mine, size=niche + held, replace=False)
+        rows += [u] * niche
+        cols += list(pick[:niche])
+        for i in pick[niche:]:
+            tst[u, i] = 1
+        other = [i for i in range(n_pop, n_i) if i % 2 != u % 2]
+        rows += [u] * noise
+        cols += list(rng.choice(other, size=noise, replace=False))
+    trn = sp.csr_matrix((np.ones(len(rows)), (rows, cols)), shape=(n_u, n_i))
+    return bundle_from_matrices(trn.tocoo(), None, tst.tocsr().tocoo())
+
+
+def _sgl_cfg(cl_weight):
+    return load_config("sgl", overrides={
+        "train.epoch": 100, "train.batch_size": 256, "train.test_step": 100,
+        "train.patience": 0, "test.batch_size": 32, "test.k": [5, 10],
+        "model.embedding_size": 16, "model.keep_rate": 0.8,
+        "model.cl_weight": cl_weight, "optimizer.lr": 1.0e-2,
+    })
+
+
+def test_sgl_learns_and_ssl_helps():
+    data = _cf_bundle()
+    before, with_ssl = _train_recall(_sgl_cfg(1.0), data)
+    assert with_ssl > before + 0.04, (before, with_ssl)
+    _, without = _train_recall(_sgl_cfg(0.0), data)
+    assert with_ssl > without + 0.02, (with_ssl, without)
+
+
+# ----------------------------------------------------------------------- KG
+
+
+def _kg_bundle(cfg, seed=0, n_users=96, n_items=96, n_genres=8, likes=4,
+               held=2, n_noise_ents=32, noise_links=3):
+    """Planted-genre KG with distractor relations: item i links to its genre
+    entity via relation 0 AND to 3 random noise entities via relation 1; user
+    u likes genre u%8 items.  At random init the noisy aggregation hides the
+    genre signal (a pure-structure propagation can't solve it), so beating
+    random requires the RGAT attention to learn to favor the genre relation —
+    and the held-out items are reachable only through the KG."""
+    from sslrec_tpu.data import kg as kg_data
+    rng = np.random.default_rng(seed)
+    train_cf, test_cf = [], []
+    for u in range(n_users):
+        g = u % n_genres
+        mine = [i for i in range(n_items) if i % n_genres == g]
+        pick = rng.choice(mine, size=likes + held, replace=False)
+        train_cf += [(u, i) for i in pick[:likes]]
+        test_cf += [(u, i) for i in pick[likes:]]
+    raw = [(i, 0, n_items + (i % n_genres)) for i in range(n_items)]
+    for i in range(n_items):
+        for e in rng.choice(n_noise_ents, size=noise_links, replace=False):
+            raw.append((i, 1, n_items + n_genres + int(e)))
+    raw = np.asarray(raw, np.int64)
+    can = np.unique(raw, axis=0)
+    inv = can.copy()
+    inv[:, 0], inv[:, 2] = can[:, 2], can[:, 0]
+    inv[:, 1] = can[:, 1] + can[:, 1].max() + 1
+    can[:, 1] += 1
+    inv[:, 1] += 1
+    trip = np.concatenate([can, inv])
+    n_ent = int(max(trip[:, 0].max(), trip[:, 2].max()) + 1)
+    n_rel = int(trip[:, 1].max() + 1)
+    return kg_data.bundle_from_kg(cfg, np.asarray(train_cf, np.int64),
+                                  np.asarray(test_cf, np.int64), trip,
+                                  n_ent, n_rel)
+
+
+def _kgcl_cfg(cl_weight):
+    return load_config("kgcl", overrides={
+        "train.epoch": 60, "train.batch_size": 64, "train.kg_batch_size": 32,
+        "train.test_step": 60, "train.patience": 0, "train.train_trans": False,
+        "test.batch_size": 16, "test.k": [5, 10],
+        "model.embedding_size": 16, "model.triplet_num": 8,
+        "model.cl_weight": cl_weight, "optimizer.lr": 5.0e-3,
+    })
+
+
+def test_kgcl_learns_and_ssl_helps():
+    cfg = _kgcl_cfg(0.1)
+    data = _kg_bundle(cfg)
+    before, with_ssl = _train_recall(cfg, data)
+    assert with_ssl > before + 0.10, (before, with_ssl)
+    _, without = _train_recall(_kgcl_cfg(0.0), data)
+    assert with_ssl > without + 0.01, (with_ssl, without)
+
+
+# -------------------------------------------------------------------- social
+
+
+def _social_bundle(cfg, seed=0, n_u=96, n_i=96, n_c=8, likes=4, held=2,
+                   tn=4, noise=3):
+    """8 user communities with 12 signature items each; trust is clean and
+    intra-community while the train interactions carry 3 cross-community
+    noise likes per user.  The hypergraph self-supervision injects the trust
+    structure, so it pays off exactly when interactions are noisy — which is
+    what makes the ON-vs-OFF margin reliable."""
+    from sslrec_tpu.data import social as social_data
+    rng = np.random.default_rng(seed)
+    sig = {c: rng.choice(n_i, size=12, replace=False) for c in range(n_c)}
+    rows, cols = [], []
+    tst = sp.lil_matrix((n_u, n_i))
+    for u in range(n_u):
+        c = u % n_c
+        pick = rng.choice(sig[c], size=likes + held, replace=False)
+        rows += [u] * likes
+        cols += list(pick[:likes])
+        for i in pick[likes:]:
+            tst[u, i] = 1
+        others = [i for i in range(n_i) if i not in sig[c]]
+        rows += [u] * noise
+        cols += list(rng.choice(others, size=noise, replace=False))
+    trn = sp.csr_matrix((np.ones(len(rows)), (rows, cols)), shape=(n_u, n_i))
+    t_rows, t_cols = [], []
+    for u in range(n_u):
+        peers = [v for v in range(n_u) if v % n_c == u % n_c and v != u]
+        for v in rng.choice(peers, size=tn, replace=False):
+            t_rows.append(u)
+            t_cols.append(v)
+    trust = sp.csr_matrix((np.ones(len(t_rows)), (t_rows, t_cols)),
+                          shape=(n_u, n_u))
+    trust = ((trust + trust.T) != 0).astype(np.float32)
+    return social_data.bundle_from_matrices(cfg, trn, tst.tocsr(), trust)
+
+
+def _mhcn_cfg(ss_rate):
+    return load_config("mhcn", overrides={
+        "train.epoch": 60, "train.batch_size": 128, "train.test_step": 60,
+        "train.patience": 0, "test.batch_size": 16, "test.k": [5, 10],
+        "model.embedding_size": 16, "model.ss_rate": ss_rate,
+        "optimizer.lr": 5.0e-3,
+    })
+
+
+def test_mhcn_learns_and_ssl_helps():
+    cfg = _mhcn_cfg(0.05)
+    data = _social_bundle(cfg)
+    model = build_model(cfg, data)
+    p0 = model.init_params(jax.random.PRNGKey(0))
+    before = Evaluator(model, data.test, cfg)(p0)["recall"]
+    trainer = Trainer(cfg, model, data, logger=_Silent())
+    trainer.train(p0)
+    with_ssl = trainer.test_results["recall"]
+    assert with_ssl[0] > before[0] + 0.04, (before, with_ssl)
+    # SSL margin summed over both cutoffs (one granularity step each at
+    # 1/192; the sum gives two steps of deterministic headroom)
+    cfg0 = _mhcn_cfg(0.0)
+    model0 = build_model(cfg0, data)
+    t0 = Trainer(cfg0, model0, data, logger=_Silent())
+    t0.train(model0.init_params(jax.random.PRNGKey(0)))
+    without = t0.test_results["recall"]
+    assert with_ssl[0] + with_ssl[1] > without[0] + without[1] + 0.008, (
+        with_ssl, without)
+
+
+# ------------------------------------------------------------ multi-behavior
+
+
+def _mb_bundle(cfg, seed=0, n_u=96, n_i=64, buys=2, held=2, views=12,
+               bnoise=3):
+    """'view' ⊃ 'buy' with parity structure, a very sparse target behavior
+    (2 true buys) corrupted by 3 cross-parity noise buys.  The aux behavior
+    carries the real signal, so the meta-weighted behavior-contrastive term
+    (gated by ``train.beta``) measurably denoises the target — and plain BPR
+    on the noisy buys overfits (measured at 60 epochs: beta 0 → R@5 0.245,
+    beta 0.02 → 0.266; at 150 epochs the gap widens)."""
+    from sslrec_tpu.data import multi_behavior as mb_data
+    rng = np.random.default_rng(seed)
+    v_rows, v_cols, b_rows, b_cols = [], [], [], []
+    tst = sp.lil_matrix((n_u, n_i))
+    for u in range(n_u):
+        mine = [i for i in range(n_i) if i % 2 == u % 2]
+        seen = rng.choice(mine, size=views, replace=False)
+        v_rows += [u] * views
+        v_cols += list(seen)
+        b_rows += [u] * buys
+        b_cols += list(seen[:buys])
+        other = [i for i in range(n_i) if i % 2 != u % 2]
+        b_rows += [u] * bnoise
+        b_cols += list(rng.choice(other, size=bnoise, replace=False))
+        for i in seen[buys:buys + held]:
+            tst[u, i] = 1
+    view = sp.csr_matrix((np.ones(len(v_rows)), (v_rows, v_cols)),
+                         shape=(n_u, n_i))
+    buy = sp.csr_matrix((np.ones(len(b_rows)), (b_rows, b_cols)),
+                        shape=(n_u, n_i))
+    return mb_data.bundle_from_behaviors(cfg, ["view", "buy"], [view, buy],
+                                         tst.tocsr())
+
+
+def _cml_cfg(beta):
+    # CML's three-phase step uses its own cyclic-LR AdamWs driven by
+    # optimizer.opt_base_lr/opt_max_lr (optimizer.lr only feeds the meta net)
+    return load_config("cml", overrides={
+        "train.epoch": 60, "train.batch_size": 128, "train.test_step": 60,
+        "train.patience": 0, "train.beta": beta, "test.batch_size": 16,
+        "test.k": [5, 10], "model.embedding_size": 16,
+        "optimizer.opt_base_lr": 5.0e-3, "optimizer.opt_max_lr": 2.0e-2,
+    })
+
+
+def test_cml_learns_and_ssl_helps():
+    cfg = _cml_cfg(0.02)
+    data = _mb_bundle(cfg)
+    before, with_ssl = _train_recall(cfg, data)
+    assert with_ssl > before + 0.04, (before, with_ssl)
+    _, without = _train_recall(_cml_cfg(0.0), data)
+    assert with_ssl > without + 0.015, (with_ssl, without)
