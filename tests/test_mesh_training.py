@@ -147,3 +147,62 @@ def test_distributed_init_requires_full_spec(monkeypatch):
     with pytest.raises(ValueError, match="num_processes"):
         mesh_mod.maybe_distributed_init(load_config("lightgcn"))
     monkeypatch.setattr(mesh_mod, "_DIST_INITIALIZED", False)
+
+
+# ---- round-3 coverage: sequential / social / multi-behavior + degenerate
+# meshes (8x1 and 1x8 are where axis-collapse sharding bugs usually hide)
+
+
+def test_mesh_parity_degenerate_axes():
+    """8x1 and 1x8 meshes must both reproduce the single-device run
+    (degenerate axes exercise GSPMD's all-replicated and fully-model-sharded
+    corners, where axis-collapse bugs usually hide)."""
+    data = _cf_bundle()
+    for mesh_shape in ({"data": 8, "model": 1}, {"data": 1, "model": 8}):
+        p0, r0 = _run("lightgcn", data, mesh=False)
+        p1, r1 = _run("lightgcn", data, mesh=True,
+                      extra={"train.mesh": mesh_shape})
+        for m in r0:
+            np.testing.assert_allclose(np.asarray(r0[m]), np.asarray(r1[m]),
+                                       rtol=1e-4, atol=1e-6,
+                                       err_msg=f"mesh {mesh_shape} metric {m}")
+
+
+def test_mesh_parity_sequential_bert4rec():
+    """Sequential family under the mesh: BERT4Rec's vocab table [n_items+2, d]
+    is not an exact row-space match, so this is the pure-DP path — batches
+    split over 'data', params replicated."""
+    from sslrec_tpu.data import sequential as seq_data
+    from tests.test_models_sequential import _synthetic_seqs, SMALL
+
+    overrides = dict(SMALL)
+    overrides.update({"train.save_model": False, "train.log_loss": False,
+                      "train.batch_size": 16, "train.epoch": 2,
+                      "train.test_step": 2, "train.patience": 10})
+    cfg = load_config("bert4rec", overrides=overrides)
+    train, test = _synthetic_seqs()
+    data = seq_data.bundle_from_seqs(cfg, train, test)
+    _assert_run_parity("bert4rec", data, extra=overrides)
+
+
+def test_mesh_parity_social_mhcn():
+    """Social family under the mesh: motif hypergraph propagation with the
+    [n_users, d] table row-sharded over 'model' (96 % 2 == 0)."""
+    from tests.test_learning import _social_bundle, _mhcn_cfg
+
+    data = _social_bundle(_mhcn_cfg(0.01))
+    _assert_run_parity("mhcn", data, extra={"model.ss_rate": 0.01})
+
+
+def test_mesh_parity_mb_cml():
+    """Multi-behavior family under the mesh: CML's model-managed three-phase
+    train_step (three optimizers inside one jitted scan) under GSPMD — the
+    family with the largest real tables (ijcai_15: 423k users) had zero
+    sharding evidence before this test."""
+    from tests.test_learning import _mb_bundle, _cml_cfg
+
+    cfg = _cml_cfg(0.02)
+    data = _mb_bundle(cfg)
+    _assert_run_parity("cml", data, extra={
+        "train.beta": 0.02, "train.batch_size": 32,
+        "optimizer.opt_base_lr": 5.0e-3, "optimizer.opt_max_lr": 2.0e-2})
