@@ -201,7 +201,15 @@ class AutoCF(RecModel):
         # reference dedups nodes (t.unique) — raw batch used here (static shape)
         return jnp.mean(jax.nn.logsumexp(e1[nodes] @ e1.T, axis=-1))
 
+    def hparams(self):
+        """Traced tune-grid scalars (structural: gcn_layer)."""
+        return {"reg_weight": jnp.float32(self.reg_weight),
+                "ssl_reg": jnp.float32(self.ssl_reg)}
+
     def loss(self, params, batch, key):
+        hp = batch.get("hp", {})
+        reg_w = hp.get("reg_weight", self.reg_weight)
+        ssl_reg = hp.get("ssl_reg", self.ssl_reg)
         aux = batch["aux"]
         vidx = batch["step"] // self.fix_steps
         view = jax.tree.map(lambda x: x[vidx], aux)
@@ -209,9 +217,9 @@ class AutoCF(RecModel):
                                                 self._decoder_edges(view))
         ancs, poss = batch["user"], batch["pos"]
         rec = -jnp.mean(jnp.sum(user_embeds[ancs] * item_embeds[poss], -1))
-        reg = self.reg_weight * losses.reg_params(params)
+        reg = reg_w * losses.reg_params(params)
         cl = (self._contrast(ancs, user_embeds)
-              + self._contrast(poss, item_embeds)) * self.ssl_reg \
+              + self._contrast(poss, item_embeds)) * ssl_reg \
             + self._contrast(ancs, user_embeds, item_embeds)
         # infomax on regeneration steps (differentiable scores recomputed)
         scores, _ = self._seed_scores(params, key)

@@ -95,9 +95,10 @@ class DCCF(RecModel):
         iaa_list = [iaa[l] for l in range(L)]
         return final[:u], final[u:], gnn_list, int_list, gaa_list, iaa_list
 
-    def _cl_loss(self, users, items, gnn_list, int_list, gaa_list, iaa_list):
+    def _cl_loss(self, users, items, gnn_list, int_list, gaa_list, iaa_list,
+                 t=None):
         u = self.user_num
-        t = self.temperature
+        t = self.temperature if t is None else t
         cl = 0.0
         n = users.shape[0]
         for gnn, inte, gaa, iaa in zip(gnn_list, int_list, gaa_list, iaa_list):
@@ -111,13 +112,23 @@ class DCCF(RecModel):
             cl += losses.infonce_loss(ig, iia, iia, t) / n
         return cl
 
+    def hparams(self):
+        """Traced tune-grid scalars (structural: layer_num)."""
+        return {"reg_weight": jnp.float32(self.reg_weight),
+                "cl_weight": jnp.float32(self.cl_weight),
+                "temperature": jnp.float32(self.temperature)}
+
     def loss(self, params, batch, key):
+        hp = batch.get("hp", {})
+        reg_w = hp.get("reg_weight", self.reg_weight)
+        cl_w = hp.get("cl_weight", self.cl_weight)
+        temp = hp.get("temperature", self.temperature)
         ancs, poss, negs = batch["user"], batch["pos"], batch["neg"]
         u_emb, i_emb, gnn_l, int_l, gaa_l, iaa_l = self.forward(params)
         bpr = losses.bpr_loss(u_emb[ancs], i_emb[poss], i_emb[negs]) / ancs.shape[0]
-        reg = self.reg_weight * losses.reg_params(params)
+        reg = reg_w * losses.reg_params(params)
         items = jnp.concatenate([poss, negs])
-        cl = self.cl_weight * self._cl_loss(ancs, items, gnn_l, int_l, gaa_l, iaa_l)
+        cl = cl_w * self._cl_loss(ancs, items, gnn_l, int_l, gaa_l, iaa_l, temp)
         return bpr + reg + cl, {"bpr_loss": bpr, "reg_loss": reg, "cl_loss": cl}
 
     def generate(self, params):

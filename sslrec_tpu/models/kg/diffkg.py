@@ -344,7 +344,16 @@ class DiffKG(RecModel):
         self._rebuild = jax.jit(rebuild)
 
     # -- loss -----------------------------------------------------------------
+    def hparams(self):
+        """Traced tune-grid scalars (structural: cl_pattern — it switches
+        which forward sees the diffused KG — and layer_num_kg)."""
+        return {"reg_weight": jnp.float32(self.reg_weight),
+                "temperature": jnp.float32(self.temperature)}
+
     def loss(self, params, batch, key):
+        hp = batch.get("hp", {})
+        reg_w = hp.get("reg_weight", self.reg_weight)
+        temp = hp.get("temperature", self.temperature)
         aux = batch["aux"]
         k1, k2 = jax.random.split(key)
         if self.cl_pattern == 0:
@@ -355,9 +364,9 @@ class DiffKG(RecModel):
             u_kg, i_kg = self.forward(params, k2, kg=aux["dkg"], training=True)
         ancs, poss, negs = batch["user"], batch["pos"], batch["neg"]
         bpr = losses.bpr_loss(u_main[ancs], i_main[poss], i_main[negs]) / ancs.shape[0]
-        reg = self.reg_weight * losses.reg_params(params)
-        cl = (losses.infonce_loss(u_main[ancs], u_kg[ancs], u_kg, self.temperature)
-              + losses.infonce_loss(i_main[poss], i_kg[poss], i_kg, self.temperature)
+        reg = reg_w * losses.reg_params(params)
+        cl = (losses.infonce_loss(u_main[ancs], u_kg[ancs], u_kg, temp)
+              + losses.infonce_loss(i_main[poss], i_kg[poss], i_kg, temp)
               ) / ancs.shape[0] * self.cl_weight
         return bpr + reg + cl, {"bpr_loss": bpr, "reg_loss": reg, "cl_loss": cl}
 

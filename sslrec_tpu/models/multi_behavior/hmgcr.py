@@ -98,6 +98,16 @@ class HMGCR(RecModel):
         items = [i for _, i in embeds]
         return (sum(users) / len(users), sum(items) / len(items), users, items)
 
+    def hparams(self):
+        """Traced tune-grid scalars.  reg_weight is a *documented no-op*: the
+        reference's HMGCR loss never applies it (models/multi_behavior/
+        hmgcr.py:78-93 imports reg_pick_embeds but composes only
+        beta*bpr + (1-beta)*cl), so exposing it as an inert lane collapses the
+        shipped 9-trial grid to 3 compiled programs without changing any
+        trial's semantics."""
+        return {"reg_weight": jnp.float32(float(
+            self.cfg.model.get("reg_weight", 0.0)))}
+
     def loss(self, params, batch, key):
         ancs, poss, negs = batch["user"], batch["pos"], batch["neg"]
         user_emb, item_emb, users, items = self.forward(params)

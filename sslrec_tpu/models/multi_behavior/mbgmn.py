@@ -180,6 +180,16 @@ class MBGMN(RecModel):
         pe = self._act(pe @ w1 + b1)
         return (pe @ w2).reshape(-1)
 
+    def hparams(self):
+        """Traced tune-grid scalars.  The shipped grid's ``reg_weight`` is a
+        *documented no-op*: the reference MBGMN regularises with
+        ``configs['train']['reg']`` (models/multi_behavior/mbgmn.py:190) and
+        never reads ``model.reg_weight`` — exposing it as an inert lane
+        collapses the 9-trial grid to 3 compiled programs without changing
+        any trial's semantics."""
+        return {"reg_weight": jnp.float32(float(
+            self.cfg.model.get("reg_weight", 0.0)))}
+
     def loss(self, params, batch, key):
         b = batch["user"].shape[0]
         ku, kp, kn, kf = jax.random.split(key, 4)

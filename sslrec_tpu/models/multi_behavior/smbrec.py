@@ -95,7 +95,15 @@ class SMBRec(RecModel):
         sums = lax.map(block, (anchors.reshape(-1, chunk), keys))
         return jnp.sum(sums)
 
+    def hparams(self):
+        """Traced tune-grid scalars (structural: layer_num)."""
+        return {"reg_weight": jnp.float32(self.reg_weight),
+                "cl_weight": jnp.float32(self.cl_weight)}
+
     def loss(self, params, batch, key):
+        hp = batch.get("hp", {})
+        reg_w = hp.get("reg_weight", self.reg_weight)
+        cl_w = hp.get("cl_weight", self.cl_weight)
         ancs, poss, negs = batch["user"], batch["pos"], batch["neg"]
         user_emb, item_emb, beh_users = self.forward(params)
         anc_e, pos_e, neg_e = user_emb[ancs], item_emb[poss], item_emb[negs]
@@ -103,7 +111,7 @@ class SMBRec(RecModel):
         reg = losses.reg_pick_embeds([anc_e, pos_e, neg_e])
         keys = jax.random.split(key, self.n_beh)
         cl = sum(self._cl(k, u) for k, u in zip(keys, beh_users))
-        loss = bpr + self.cl_weight * cl + self.reg_weight * reg
+        loss = bpr + cl_w * cl + reg_w * reg
         return loss, {"bpr_loss": bpr, "cl_loss": cl}
 
     def generate(self, params):

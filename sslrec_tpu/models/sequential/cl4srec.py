@@ -52,7 +52,15 @@ class CL4SRec(SequentialModel):
                                            self.dropout_rate, deterministic)
         return h[:, -1, :]
 
+    def hparams(self):
+        """Traced tune-grid scalars.  dropout_rate stays structural: it is
+        baked into the transformer stack's dropout calls."""
+        return {"lmd": jnp.float32(self.lmd), "tau": jnp.float32(self.tau)}
+
     def loss(self, params, batch, key):
+        hp = batch.get("hp", {})
+        lmd = hp.get("lmd", self.lmd)
+        tau = hp.get("tau", self.tau)
         kf, ka, k1, k2 = jax.random.split(key, 4)
         seqs = batch["seq"]
         h = self._encode(params, kf, seqs, deterministic=False)
@@ -65,7 +73,7 @@ class CL4SRec(SequentialModel):
         v1, v2 = seq_augment.cl4srec_two_views(ka, seqs, self.mask_token)
         h1 = self._encode(params, k1, v1, deterministic=False)
         h2 = self._encode(params, k2, v2, deterministic=False)
-        cl_loss = self.lmd * nt_xent(h1, h2, self.tau)
+        cl_loss = lmd * nt_xent(h1, h2, tau)
         return rec_loss + cl_loss, {"rec_loss": rec_loss, "cl_loss": cl_loss}
 
     def encode_for_predict(self, params, seqs):

@@ -219,7 +219,15 @@ class DCRec(SequentialModel):
         pos = jnp.diagonal(s)
         return -jnp.log(1e-8 + pos / jnp.sum(s, 1))
 
+    def hparams(self):
+        """Traced tune-grid scalars (cl_lambda, weight_mean ride lanes)."""
+        return {"cl_lambda": jnp.float32(self.cl_lambda),
+                "weight_mean": jnp.float32(self.weight_mean)}
+
     def loss(self, params, batch, key):
+        hp = batch.get("hp", {})
+        cl_lambda = hp.get("cl_lambda", self.cl_lambda)
+        weight_mean = hp.get("weight_mean", self.weight_mean)
         seqs = batch["seq"]
         uids = batch["user"]
         ks = jax.random.split(key, 8)
@@ -266,11 +274,11 @@ class DCRec(SequentialModel):
         agreement = jax.nn.sigmoid(agreement)
         agreement = (agreement - agreement.min()) \
             / (agreement.max() - agreement.min() + 1e-12)
-        agreement = (self.weight_mean / (jnp.mean(agreement) + 1e-12)) * agreement
+        agreement = (weight_mean / (jnp.mean(agreement) + 1e-12)) * agreement
         seq_lens = jnp.sum(seqs > 0, 1)
         mainstream = jnp.where(seq_lens == 1, 0.5, agreement)
 
-        expected = self.weight_mean + 0.1 * jax.random.normal(
+        expected = weight_mean + 0.1 * jax.random.normal(
             ks[5], mainstream.shape)
         tgt = jnp.log(jnp.maximum(jnp.sort(expected), 1e-8) + 1e-8)
         inp = jax.nn.log_softmax(jnp.sort(mainstream) + 1e-8, axis=0)
@@ -281,8 +289,8 @@ class DCRec(SequentialModel):
         personal = jnp.max(mainstream) - mainstream
         cl_adj = self._vanilla_nce(h_aug, adj_last)
         cl_a2s = self._vanilla_nce(adj_last, sim_last)
-        cl = jnp.mean(self.cl_lambda * (mainstream * cl_adj
-                                        + personal * cl_a2s))
+        cl = jnp.mean(cl_lambda * (mainstream * cl_adj
+                                   + personal * cl_a2s))
 
         mixed = jnp.stack([h, adj_last, sim_last], 0)          # [3, B, d]
         weights = jnp.sum((mixed @ params["attn_weights"]) * params["attn"], -1)

@@ -67,7 +67,15 @@ class DuoRec(SequentialModel):
         sampled = self.train_seqs[rows]                    # [B, L]
         return jnp.where((cnt > 0)[:, None], sampled, seqs)
 
+    def hparams(self):
+        """Traced tune-grid scalars (no structural hypers in the grid)."""
+        return {"lmd_sem": jnp.float32(self.lmd_sem),
+                "tau": jnp.float32(self.tau)}
+
     def loss(self, params, batch, key):
+        hp = batch.get("hp", {})
+        lmd_sem = hp.get("lmd_sem", self.lmd_sem)
+        tau = hp.get("tau", self.tau)
         k0, k1, k2, ks = jax.random.split(key, 4)
         seqs, lasts = batch["seq"], batch["pos"]
         h = self._encode(params, k0, seqs, deterministic=False)
@@ -78,7 +86,7 @@ class DuoRec(SequentialModel):
         h1 = self._encode(params, k1, seqs, deterministic=False)
         sem_seqs = self._semantic_views(ks, seqs, lasts)
         h2 = self._encode(params, k2, sem_seqs, deterministic=False)
-        cl_loss = self.lmd_sem * nt_xent(h1, h2, self.tau)
+        cl_loss = lmd_sem * nt_xent(h1, h2, tau)
         return rec_loss + cl_loss, {"rec_loss": rec_loss, "cl_loss": cl_loss}
 
     def encode_for_predict(self, params, seqs):

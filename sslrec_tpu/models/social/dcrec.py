@@ -159,7 +159,17 @@ class DcRec(RecModel):
         """Symmetrised GRACE loss (``dcrec.py:228-235``, mean-reduced)."""
         return 0.5 * (grace_loss(z1, z2, self.tau) + grace_loss(z2, z1, self.tau))
 
+    def hparams(self):
+        """Traced tune-grid scalars (structural: layer_num)."""
+        return {"reg_weight": jnp.float32(self.reg_weight),
+                "cross_weight": jnp.float32(self.cross_weight),
+                "domain_weight": jnp.float32(self.domain_weight)}
+
     def loss(self, params, batch, key):
+        hp = batch.get("hp", {})
+        reg_w = hp.get("reg_weight", self.reg_weight)
+        cross_w = hp.get("cross_weight", self.cross_weight)
+        domain_w = hp.get("domain_weight", self.domain_weight)
         kc, ks, kv = jax.random.split(key, 3)
         user_embeds, item_embeds = self._lightgcn_base(params)
 
@@ -192,13 +202,13 @@ class DcRec(RecModel):
         ancs, poss, negs = batch["user"], batch["pos"], batch["neg"]
         anc_e, pos_e, neg_e = user_embeds[ancs], item_embeds[poss], item_embeds[negs]
         bpr = losses.bpr_loss(anc_e, pos_e, neg_e)
-        cross = self.cross_weight * (
+        cross = cross_w * (
             self._gca(uu1, uiu1) + self._gca(uu1, uiu2)
             + self._gca(uu2, uiu1) + self._gca(uu2, uiu2))
         i_loss = self._gca(uiu1, uiu2) + self._gca(uii1, uii2)
         s_loss = self._gca(uu1, uu2)
-        domain = self.domain_weight * (i_loss + s_loss)
-        reg = self.reg_weight * losses.reg_pick_embeds([anc_e, pos_e, neg_e])
+        domain = domain_w * (i_loss + s_loss)
+        reg = reg_w * losses.reg_pick_embeds([anc_e, pos_e, neg_e])
         loss = bpr + reg + domain + cross
         return loss, {"bpr_loss": bpr, "reg_loss": reg,
                       "domain_loss": domain, "cross_loss": cross}

@@ -151,12 +151,17 @@ class KCGN(RecModel):
 
         return disc(pos, 1.0), disc(neg, 0.0)
 
+    def hparams(self):
+        """Traced tune-grid scalars (structural: layer_num)."""
+        return {"reg_weight": jnp.float32(self.reg_weight)}
+
     def loss(self, params, batch, key):
+        reg_w = batch.get("hp", {}).get("reg_weight", self.reg_weight)
         ancs, poss, negs = batch["user"], batch["pos"], batch["neg"]
         user_embeds, item_embeds = self.forward(params)
         anc_e, pos_e, neg_e = user_embeds[ancs], item_embeds[poss], item_embeds[negs]
         bpr = losses.bpr_loss(anc_e, pos_e, neg_e)
-        reg = self.reg_weight * losses.reg_pick_embeds([anc_e, pos_e, neg_e])
+        reg = reg_w * losses.reg_pick_embeds([anc_e, pos_e, neg_e])
         k1, k2 = jax.random.split(key)
         up, un = self._dgi(params, k1, self.uu_g,
                            user_embeds, self.uu_sub_adj, self.uu_sub_norm,

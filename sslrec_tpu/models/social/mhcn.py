@@ -116,17 +116,25 @@ class MHCN(RecModel):
         global_ = -jnp.sum(jnp.log(jax.nn.sigmoid(pos_g - neg_g) + 1e-12))
         return local + global_
 
+    def hparams(self):
+        """Traced tune-grid scalars (structural: layer_num)."""
+        return {"reg_weight": jnp.float32(self.reg_weight),
+                "ss_rate": jnp.float32(self.ss_rate)}
+
     def loss(self, params, batch, key):
+        hp = batch.get("hp", {})
+        reg_w = hp.get("reg_weight", self.reg_weight)
+        ss_rate = hp.get("ss_rate", self.ss_rate)
         ancs, poss, negs = batch["user"], batch["pos"], batch["neg"]
         user_embeds, item_embeds = self.forward(params)
         bpr = losses.bpr_loss(user_embeds[ancs], item_embeds[poss], item_embeds[negs])
-        reg = self.reg_weight * losses.reg_params(params)
+        reg = reg_w * losses.reg_params(params)
         ks = jax.random.split(key, 3)
         sg = params["sgating"]
         ss = (self._hierarchical_ssl(ks[0], self._gate(sg[0], user_embeds), self.h_s)
               + self._hierarchical_ssl(ks[1], self._gate(sg[1], user_embeds), self.h_j)
               + self._hierarchical_ssl(ks[2], self._gate(sg[2], user_embeds), self.h_p))
-        ss = ss * self.ss_rate
+        ss = ss * ss_rate
         return bpr + reg + ss, {"bpr_loss": bpr, "reg_loss": reg, "ss_loss": ss}
 
     def generate(self, params):

@@ -118,12 +118,22 @@ class SMIN(RecModel):
         adj_rebuilt = jnp.sum((tmp - 1.0) ** 2) / features.shape[0]
         return pos_xj, neg_xj, pos_xi, neg_xi, adj_rebuilt
 
+    def hparams(self):
+        """Traced tune-grid scalars (structural: layer_num)."""
+        return {"reg_weight": jnp.float32(self.reg_weight),
+                "lambda1": jnp.float32(self.lambda1),
+                "lambda2": jnp.float32(self.lambda2)}
+
     def loss(self, params, batch, key):
+        hp = batch.get("hp", {})
+        reg_w = hp.get("reg_weight", self.reg_weight)
+        lam1 = hp.get("lambda1", self.lambda1)
+        lam2 = hp.get("lambda2", self.lambda2)
         ancs, poss, negs = batch["user"], batch["pos"], batch["neg"]
         user_embeds, item_embeds = self.forward(params)
         anc_e, pos_e, neg_e = user_embeds[ancs], item_embeds[poss], item_embeds[negs]
         bpr = losses.bpr_loss(anc_e, pos_e, neg_e)
-        reg = self.reg_weight * losses.reg_pick_embeds([anc_e, pos_e, neg_e])
+        reg = reg_w * losses.reg_pick_embeds([anc_e, pos_e, neg_e])
         feats = jnp.concatenate([user_embeds, item_embeds], axis=0)
         p_xj, n_xj, p_xi, n_xi, rebuilt = self._informax(params, key, feats)
         mask = jnp.zeros((self.user_num + self.item_num,))
@@ -131,10 +141,10 @@ class SMIN(RecModel):
         mask = mask.at[self.user_num + poss].set(1.0)
         mask = mask.at[self.user_num + negs].set(1.0)
         denom = jnp.sum(mask)
-        informax = self.lambda1 * ((jnp.sum(mask * p_xj) + jnp.sum(mask * n_xj))
-                                   / denom) \
-            + self.lambda2 * ((jnp.sum(mask * p_xi) + jnp.sum(mask * n_xi))
-                              / denom + rebuilt)
+        informax = lam1 * ((jnp.sum(mask * p_xj) + jnp.sum(mask * n_xj))
+                           / denom) \
+            + lam2 * ((jnp.sum(mask * p_xi) + jnp.sum(mask * n_xi))
+                      / denom + rebuilt)
         loss = bpr + reg + informax
         return loss, {"bpr_loss": bpr, "reg_loss": reg, "informax_loss": informax}
 

@@ -154,3 +154,56 @@ def test_vmapped_grid_search_structural_groups():
     assert set(ser) == set(par) and len(ser) == 4
     for a in ser:
         assert abs(ser[a] - par[a]) < 5e-3, (a, ser[a], par[a])
+
+
+def test_vmapped_grid_search_dccf_three_lanes():
+    """Round-3 hook coverage: DCCF's hparams() exposes reg_weight, cl_weight
+    and temperature, so the shipped-style grid (layer_num structural x 2
+    traced lanes) vmaps into per-layer-count groups with per-trial scores
+    matching the serial loop."""
+    data = _make_bundle(7)
+    base = {
+        "train.epoch": 3, "train.batch_size": 128, "train.test_step": 1,
+        "train.patience": 3, "test.batch_size": 16, "test.k": [5],
+        "model.embedding_size": 8, "model.intent_num": 4,
+        "tune.enable": True,
+        "tune.hyperparameters": ["layer_num", "cl_weight", "temperature"],
+        "tune.layer_num": [1, 2],
+        "tune.cl_weight": [1.0e-3, 1.0e-1],
+        "tune.temperature": [0.2],
+    }
+    slog, vlog = _RecordingLogger(), _RecordingLogger()
+    best_s = grid_search(load_config("dccf", overrides=base), data, slog)
+    best_v = grid_search(load_config("dccf", overrides={**base, "tune.parallel": 2}),
+                         data, vlog)
+    assert not any("falling back" in ln for ln in vlog.lines)
+    assert any("2 structural group(s)" in ln for ln in vlog.lines)
+    ser, par = _parse_trial_scores(slog.lines), _parse_trial_scores(vlog.lines)
+    assert set(ser) == set(par) and len(ser) == 4
+    for a in ser:
+        assert abs(ser[a] - par[a]) < 5e-3, (a, ser[a], par[a])
+    assert abs(best_s[0] - best_v[0]) < 5e-3
+
+
+def test_structural_only_grid_falls_back_with_reason():
+    """A grid over only structural hypers (KGIN tunes just layer_num) must
+    fall back to the serial loop with a logged reason, not crash."""
+    import scipy.sparse as sp
+    from sslrec_tpu.data import kg as kg_data
+    from tests.test_models_kg import _synthetic_kg
+
+    train_cf, test_cf, trip, n_ent, n_rel = _synthetic_kg()
+    base = {
+        "train.epoch": 2, "train.batch_size": 32, "train.test_step": 1,
+        "train.patience": 2, "test.batch_size": 8, "test.k": [3],
+        "model.embedding_size": 8, "model.triplet_num": 5,
+        "tune.enable": True, "tune.parallel": 2,
+        "tune.hyperparameters": ["layer_num"],
+        "tune.layer_num": [1, 2],
+    }
+    cfg = load_config("kgin", overrides=base)
+    data = kg_data.bundle_from_kg(cfg, train_cf, test_cf, trip, n_ent, n_rel)
+    vlog = _RecordingLogger()
+    best = grid_search(cfg, data, vlog)
+    assert best is not None and np.isfinite(best[0])
+    assert any("falling back" in ln for ln in vlog.lines)
