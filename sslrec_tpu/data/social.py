@@ -221,6 +221,20 @@ def _dataset_dir(cfg) -> str:
     return os.path.join(root, "social", cfg.data.name)
 
 
+def _resolve(d: str, fname: str) -> str:
+    """Find a dataset file in ``d``, falling back to the read-only reference
+    directory of the same dataset — derived dirs (tools/make_social.py) carry
+    trn_mat/trust_mat but not the reference's tst/category/time pickles."""
+    p = os.path.join(d, fname)
+    if os.path.exists(p):
+        return p
+    fallback = os.path.join(_DEFAULT_DATA_ROOT, "social",
+                            os.path.basename(d), fname)
+    if os.path.exists(fallback):
+        return fallback
+    return p  # let the open() raise with the primary path
+
+
 def _load_pkl(path):
     with open(path, "rb") as f:
         return pickle.load(f)
@@ -228,12 +242,12 @@ def _load_pkl(path):
 
 def load(cfg) -> DataBundle:
     d = _dataset_dir(cfg)
-    trn_mat = _load_pkl(os.path.join(d, "trn_mat.pkl")).tocoo()
-    tst_mat = _load_pkl(os.path.join(d, "tst_mat.pkl")).tocoo()
-    trust_mat = _load_pkl(os.path.join(d, "trust_mat.pkl")).tocsr()
-    cat_path = os.path.join(d, "category.pkl")
+    trn_mat = _load_pkl(_resolve(d, "trn_mat.pkl")).tocoo()
+    tst_mat = _load_pkl(_resolve(d, "tst_mat.pkl")).tocoo()
+    trust_mat = _load_pkl(_resolve(d, "trust_mat.pkl")).tocsr()
+    cat_path = _resolve(d, "category.pkl")
     category_mat = _load_pkl(cat_path) if os.path.exists(cat_path) else None
-    tp = os.path.join(d, "trn_time.pkl")
+    tp = _resolve(d, "trn_time.pkl")
     trn_time = _load_pkl(tp) if os.path.exists(tp) else None
     return bundle_from_matrices(cfg, trn_mat, tst_mat, trust_mat,
                                 category_mat=category_mat, trn_time=trn_time)
