@@ -77,6 +77,17 @@ def make_blocked(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     assert (np.diff(rows) >= 0).all(), "edges must be sorted by destination row"
     n_blocks = max(-(-n_rows // r), 1)
     block_of_edge = rows // r
+    # within each destination row-block, order edges by SOURCE column: the
+    # only consumer of edge order inside a block is the one-hot compare (any
+    # order works), but the XLA-side x[cols] gather is HBM-latency-bound on
+    # random row patterns — ascending cols within each chunk turn it into
+    # near-sequential reads (measured 1.97 ms → sub-ms on the Yelp bi-adj)
+    order = np.lexsort((cols, block_of_edge))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    if edge_id_map is None:
+        edge_id_map = order
+    else:
+        edge_id_map = np.asarray(edge_id_map)[order]
     counts = np.bincount(block_of_edge, minlength=n_blocks)
     chunks_per_block = np.maximum(-(-counts // m), 1)
     n_chunks = int(chunks_per_block.sum())
@@ -109,35 +120,91 @@ def make_blocked(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
         n_chunks=n_chunks, r=r, m=m)
 
 
-def _spmm_kernel(owners_ref, lrows_ref, contrib_ref, out_ref):
-    """One chunk: out[owner] (+)= onehot(local_rows) @ contrib."""
+def _spmm_kernel(owners_ref, lrows_ref, contrib_ref, out_hbm, acc_ref,
+                 copy_sem, *, d: int, r: int):
+    """One chunk: acc (+)= onehot(local_rows) @ contrib; DMA acc→HBM on the
+    owner's last chunk.
+
+    Lane packing (pack = 128//d): a ``[*, d]`` f32 tile with d<128 wastes
+    (128-d) lanes in every sublane, so un-packed layouts move 4x the useful
+    bytes at d=32.  Both the contrib block (``[M/pack, pack*d]``, edge
+    pack*e+k at lanes [k*d,(k+1)*d)) and the accumulator/output
+    (``[R/pack, pack*d]``, node pack*q+g at lanes [g*d,(g+1)*d)) are packed;
+    the matmul splits into pack x pack lane-sliced sub-matmuls.  The packed
+    output is a row-major reinterpretation, so the caller's
+    ``out.reshape(n_rows_pad, d)`` is layout-free.
+
+    The accumulator lives in VMEM scratch and is written to HBM ONCE per
+    owner: routing it through an out BlockSpec with a data-dependent
+    index_map made Mosaic round-trip the block through HBM on every step
+    (consecutive same-owner chunks serialize on that RAW dependency —
+    measured as a flat ~1.7-2.9 ms kernel floor regardless of tile shape).
+    """
     import jax.lax as lax
 
-    i = _pl().program_id(0)
-    r = out_ref.shape[0]
-    m = contrib_ref.shape[0]
+    pl = _pl()
+    pltpu = _pltpu()
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    pack = lrows_ref.shape[1]
+    mp = contrib_ref.shape[0]  # M // pack
+    rq = r // pack             # packed accumulator sublanes
 
-    is_first = jnp.logical_or(
-        i == 0, owners_ref[i] != owners_ref[jnp.maximum(i - 1, 0)])
+    owner = owners_ref[i]
+    is_first = jnp.logical_or(i == 0, owner != owners_ref[jnp.maximum(i - 1, 0)])
+    is_last = jnp.logical_or(
+        i == n - 1, owners_ref[jnp.minimum(i + 1, n - 1)] != owner)
 
-    lrows = lrows_ref[0, 0, :]                            # [M]
-    row_ids = lax.broadcasted_iota(jnp.int32, (r, m), 0)  # [R, M]
-    onehot = (row_ids == lrows[None, :]).astype(jnp.float32)
+    base = pack * lax.broadcasted_iota(jnp.int32, (rq, mp), 0)  # pack*q
     # HIGHEST precision by default: exact f32 accumulate (default MXU bf16
     # 3-pass loses ~2^-8 relative on the gathered values).  The one-hot matrix
     # is exact in bf16, so SSLREC_PALLAS_PRECISION=default trades that mantissa
     # loss for fewer MXU passes when the matmul (not grid overhead) dominates.
-    update = jax.lax.dot(onehot, contrib_ref[...],
-                         precision=_mxu_precision(),
-                         preferred_element_type=jnp.float32)
+    exact = (_mxu_precision() is jax.lax.Precision.HIGHEST
+             and contrib_ref.dtype == jnp.float32)
+    groups = []
+    for g in range(pack):  # output lane group: nodes with local row % pack == g
+        u = jnp.zeros((rq, d), jnp.float32)
+        for k in range(pack):  # contrib lane group: edges pack*e + k
+            lrows = lrows_ref[0, k, :]                    # [M/pack]
+            c = contrib_ref[:, k * d:(k + 1) * d]
+            if exact:
+                # The one-hot matrix is EXACT in bf16, so f32 precision needs
+                # only a 3-way mantissa split of the contrib side (3 one-pass
+                # bf16 MXU matmuls recover all 24 mantissa bits, f32 accum)
+                # instead of Precision.HIGHEST's 6-pass both-sides split.
+                onehot = (base + g == lrows[None, :]).astype(jnp.bfloat16)
+                c0 = c.astype(jnp.bfloat16)
+                res1 = c - c0.astype(jnp.float32)
+                c1 = res1.astype(jnp.bfloat16)
+                c2 = (res1 - c1.astype(jnp.float32)).astype(jnp.bfloat16)
+                for part in (c0, c1, c2):
+                    u = u + jax.lax.dot(onehot, part,
+                                        preferred_element_type=jnp.float32)
+            else:
+                onehot = (base + g == lrows[None, :]).astype(contrib_ref.dtype)
+                u = u + jax.lax.dot(
+                    onehot, c,
+                    precision=_mxu_precision(),
+                    preferred_element_type=jnp.float32)
+        groups.append(u)
+    update = groups[0] if pack == 1 else jnp.concatenate(groups, axis=1)
 
-    @_pl().when(is_first)
+    @pl.when(is_first)
     def _():
-        out_ref[...] = update
+        acc_ref[...] = update
 
-    @_pl().when(jnp.logical_not(is_first))
+    @pl.when(jnp.logical_not(is_first))
     def _():
-        out_ref[...] = out_ref[...] + update
+        acc_ref[...] = acc_ref[...] + update
+
+    @pl.when(is_last)
+    def _():
+        cp = pltpu.make_async_copy(
+            acc_ref, out_hbm.at[pl.ds(owner * rq, rq)], copy_sem)
+        cp.start()
+        # wait before the next owner's first accumulation reuses the scratch
+        cp.wait()
 
 
 @functools.lru_cache(maxsize=1)
@@ -166,26 +233,40 @@ def _blocked_matvec(bg: BlockedGraph, contrib: jnp.ndarray,
     pl = _pl()
     pltpu = _pltpu()
     d = contrib.shape[-1]
+    pack = 128 // d if (128 % d == 0 and bg.m % (128 // d) == 0
+                        and bg.r % (128 // d) == 0) else 1
+    mp = bg.m // pack
+    rq = bg.r // pack
+    # lane-pack: [chunks*M, d] -> [chunks*M/pack, pack*d]; the reshape is a
+    # relayout XLA fuses into the producer gather's write (measured free)
+    contrib = contrib.reshape(bg.n_chunks * mp, pack * d)
+    # local rows regrouped so sub-matmul k sees edges pack*e+k: [chunks, pack, M/pack]
+    lrows = bg.local_rows.reshape(bg.n_chunks, mp, pack).swapaxes(1, 2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bg.n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, 1, bg.m), lambda i, owners: (i, 0, 0)),
-            pl.BlockSpec((bg.m, d), lambda i, owners: (i, 0)),
+            pl.BlockSpec((1, pack, mp), lambda i, owners: (i, 0, 0)),
+            pl.BlockSpec((mp, pack * d), lambda i, owners: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((bg.r, d), lambda i, owners: (owners[i], 0)),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[pltpu.VMEM((rq, pack * d), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
     )
     out = pl.pallas_call(
-        _spmm_kernel,
+        functools.partial(_spmm_kernel, d=d, r=bg.r),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bg.n_rows_pad, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bg.n_rows_pad // pack, pack * d),
+                                       jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * bg.n_chunks * bg.r * bg.m * d,
-            bytes_accessed=contrib.size * 4 + bg.n_rows_pad * d * 4,
+            bytes_accessed=contrib.size * contrib.dtype.itemsize
+            + bg.n_rows_pad * d * 4,
             transcendentals=0),
-    )(bg.owners, bg.local_rows, contrib)
-    return out[: bg.n_rows]
+    )(bg.owners, lrows, contrib)
+    # packed rows are a row-major reinterpretation: reshape is layout-free
+    return out.reshape(bg.n_rows_pad, d)[: bg.n_rows]
 
 
 class PallasGraph(NamedTuple):
@@ -277,10 +358,18 @@ def _maybe(mat, use, r, m):
 
 
 def _contrib(bg: BlockedGraph, x: jnp.ndarray, edge_weight: jnp.ndarray | None):
-    """Padded per-edge contributions vals*ew*x[col] (XLA gather + fuse)."""
+    """Padded per-edge contributions vals*ew*x[col] (XLA gather + fuse).
+
+    Under ``SSLREC_PALLAS_PRECISION=default`` the gather and kernel input run
+    in bfloat16 (half the HBM traffic on the latency-bound gather, 1-pass MXU
+    with f32 accumulate) — ~2e-3 relative error; the shipped default stays
+    exact f32.
+    """
     v = bg.vals
     if edge_weight is not None:
         v = v * edge_weight[bg.edge_ids]
+    if _mxu_precision() is jax.lax.Precision.DEFAULT:
+        return x.astype(jnp.bfloat16)[bg.cols] * v.astype(jnp.bfloat16)[:, None]
     return x[bg.cols] * v[:, None]
 
 
@@ -384,18 +473,24 @@ def pallas_spmm_pv(pg: PallasGraph, x: jnp.ndarray, wf: jnp.ndarray,
     cotangent is declared zero, which is exact for masks produced through
     ``floor`` (their true gradient is zero) and avoids the dew gathers.
     """
-    return _blocked_matvec(pg.fwd, x[pg.fwd.cols] * (pg.fwd.vals * wf)[:, None],
-                           interpret)
+    return _blocked_matvec(pg.fwd, _contrib_pv(pg.fwd, x, wf), interpret)
 
 
 def _pv_fwd(pg, x, wf, wb, interpret):
     return pallas_spmm_pv(pg, x, wf, wb, interpret), (wf, wb)
 
 
+def _contrib_pv(bg: BlockedGraph, x: jnp.ndarray, w: jnp.ndarray):
+    """Padded-multiplier contributions (same bf16 fast path as _contrib)."""
+    v = bg.vals * w
+    if _mxu_precision() is jax.lax.Precision.DEFAULT:
+        return x.astype(jnp.bfloat16)[bg.cols] * v.astype(jnp.bfloat16)[:, None]
+    return x[bg.cols] * v[:, None]
+
+
 def _pv_bwd(pg, interpret, res, g):
     wf, wb = res
-    dx = _blocked_matvec(pg.bwd, g[pg.bwd.cols] * (pg.bwd.vals * wb)[:, None],
-                         interpret)
+    dx = _blocked_matvec(pg.bwd, _contrib_pv(pg.bwd, g, wb), interpret)
     return dx, jnp.zeros_like(wf), jnp.zeros_like(wb)
 
 
