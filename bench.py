@@ -212,12 +212,31 @@ def bench_cml():
             "eval_users_per_s": ev_s, "mfu": fl / epoch_s / PEAK_FLOPS}
 
 
+def bench_spmm():
+    """Flagship-kernel component bench on the real Yelp bi-adjacency —
+    reports achieved HBM GB/s alongside the suite's MFU numbers (the honest
+    perf axis for a d=32 HBM/latency-bound workload; v5e peak ~819 GB/s, but
+    the random-row gather is FETCH-COUNT bound at ~6.5 ns/row regardless of
+    row bytes, which is the formulation's real roofline)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.bench_spmm import run_bench
+
+    res = run_bench(iters=16)
+    return {"fwd_ms": res["fwd_ms"], "fwdgrad_ms": res["fwdgrad_ms"],
+            "xla_fwd_ms": res["xla_fwd_ms"],
+            "xla_fwdgrad_ms": res["xla_fwdgrad_ms"],
+            "hbm_gbps": res["fwd_GBps"],
+            "rel_err_vs_xla": res["rel_err_vs_xla"]}
+
+
 BENCHES = {
     "lightgcn": bench_lightgcn,
     "sgl": bench_sgl,
     "bert4rec": bench_bert4rec,
     "kgcl": bench_kgcl,
     "cml": bench_cml,
+    "spmm": bench_spmm,
 }
 
 
@@ -228,7 +247,8 @@ def main():
     for name in names:
         try:
             r = BENCHES[name]()
-            suite[name] = {k: (round(v, 7) if k == "mfu" else round(v, 2))
+            suite[name] = {k: (round(v, 7) if k in ("mfu", "rel_err_vs_xla")
+                               else round(v, 2))
                            for k, v in r.items()}
         except Exception as e:  # a broken entry must not kill the headline
             suite[name] = {"error": repr(e)[:200]}

@@ -43,16 +43,11 @@ def timeit(fn, xs, iters=24, warmup=2):
     return (time.perf_counter() - t0) / min(iters, len(xs)) * 1e3  # ms
 
 
-def main(argv=None):
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--d", type=int, default=32)
-    ap.add_argument("--r", type=int, default=256)
-    ap.add_argument("--m", type=int, default=512)
-    ap.add_argument("--precision", default=None)
-    args = ap.parse_args(argv)
-    if args.precision:
+def run_bench(d=32, r=256, m=512, precision=None, iters=24):
+    """Component timings dict (see module docstring); reusable from bench.py."""
+    if precision:
         import os
-        os.environ["SSLREC_PALLAS_PRECISION"] = args.precision
+        os.environ["SSLREC_PALLAS_PRECISION"] = precision
 
     from sslrec_tpu.config import load_config
     from sslrec_tpu.data.registry import load_data
@@ -72,16 +67,15 @@ def main(argv=None):
     pg = ps.build_pallas_graph_host(np.asarray(rows, np.int64),
                                     np.asarray(cols, np.int64),
                                     np.asarray(vals, np.float32),
-                                    n, n, r=args.r, m=args.m)
+                                    n, n, r=r, m=m)
     nnz = pg.nnz
     padded = int(pg.fwd.cols.shape[0])
-    d = args.d
     print(f"bi-adj: n={n} nnz={nnz} padded={padded} chunks={pg.fwd.n_chunks} "
-          f"(r={args.r}, m={args.m}, d={d})")
+          f"(r={r}, m={m}, d={d})")
 
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (n, d), jnp.float32)
-    NX = 24
+    NX = max(iters, 8)
     xs = jax.block_until_ready([x + 0.01 * i for i in range(NX)])
 
     fwd_cols, fwd_vals = pg.fwd.cols, pg.fwd.vals
@@ -124,12 +118,12 @@ def main(argv=None):
 
     bpe = 2 if ps._mxu_precision() is jax.lax.Precision.DEFAULT else 4
     res = {}
-    res["gather_ms"] = timeit(gather_only, xs)
-    res["kernel_ms"] = timeit(kernel_only, contribs)
-    res["fwd_ms"] = timeit(fwd, xs)
-    res["fwdgrad_ms"] = timeit(fwdgrad, xs)
-    res["xla_fwd_ms"] = timeit(xla_fwd, xs)
-    res["xla_fwdgrad_ms"] = timeit(xla_fwdgrad, xs)
+    res["gather_ms"] = timeit(gather_only, xs, iters=iters)
+    res["kernel_ms"] = timeit(kernel_only, contribs, iters=iters)
+    res["fwd_ms"] = timeit(fwd, xs, iters=iters)
+    res["fwdgrad_ms"] = timeit(fwdgrad, xs, iters=iters)
+    res["xla_fwd_ms"] = timeit(xla_fwd, xs, iters=iters)
+    res["xla_fwdgrad_ms"] = timeit(xla_fwdgrad, xs, iters=iters)
     # traffic model (fwd): gather reads ~nnz rows of x (bpe) + writes padded
     # contribs (bpe); kernel reads padded contribs (bpe) + writes out f32 once
     traffic = (nnz * d * bpe + 2 * padded * d * bpe
@@ -138,6 +132,17 @@ def main(argv=None):
     err = float(jnp.max(jnp.abs(fwd(x) - xla_fwd(x)))
                 / (jnp.max(jnp.abs(xla_fwd(x))) + 1e-12))
     res["rel_err_vs_xla"] = err
+    return res
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--d", type=int, default=32)
+    ap.add_argument("--r", type=int, default=256)
+    ap.add_argument("--m", type=int, default=512)
+    ap.add_argument("--precision", default=None)
+    args = ap.parse_args(argv)
+    res = run_bench(d=args.d, r=args.r, m=args.m, precision=args.precision)
     for k, v in res.items():
         print(f"{k:18s} {v:10.4f}")
 
