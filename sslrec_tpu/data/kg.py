@@ -103,9 +103,14 @@ class MaskableBiAdj:
         order = np.lexsort((cols, rows))
         rows, cols, rect = rows[order], cols[order], rect[order]
         self.n_nodes = n_users + n_items
+        # Pallas ON by default for the KG family's UI propagation: the
+        # scatter-free kernel beats the XLA segment-sum path even with the
+        # data-dependent view values riding the edge_ids gather (KGCL
+        # synthetic-at-scale epoch 47 -> 41 s from this flip alone); only
+        # two kernel instances compile (the hop loop is unrolled)
         self.graph = maybe_pallas(sp.coo_matrix(
             (np.ones(2 * nnz, np.float32), (rows, cols)),
-            shape=(self.n_nodes, self.n_nodes)))
+            shape=(self.n_nodes, self.n_nodes)), use=True)
         self._rows = jnp.asarray(rows.astype(np.int32))
         self._cols = jnp.asarray(cols.astype(np.int32))
         from sslrec_tpu.ops.pallas_segment import SegmentOps

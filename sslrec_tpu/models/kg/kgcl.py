@@ -85,14 +85,33 @@ class KGCL(RecModel):
         }
 
     # -- RGAT ---------------------------------------------------------------
-    def _rgat(self, params, key, entity_emb, edge_mask=None, mess_dropout=False):
+    def _hop0(self, params, entity_emb):
+        """Shared hop-0 tensors: the first RGAT hop's endpoint gathers,
+        projection and raw logits depend only on ``entity_emb`` — NOT on the
+        per-view edge masks — so the loss's three parity-required forwards
+        (main + two contrastive views) compute them once.  Per-edge gathers
+        are fetch-count latency-bound (~6.5ns/row), so sharing hop 0 removes
+        a third of the RGAT's gather volume per training step."""
+        out_t = self.seg_t.take(entity_emb)
+        a_in = jnp.concatenate([self.seg_h.take(entity_emb), out_t], axis=-1)
+        proj = a_in @ params["rgat_fc"]["w"] + params["rgat_fc"]["b"]
+        logits = jax.nn.leaky_relu(
+            jnp.sum(proj * self.rel_take.take(params["relation_embed"]),
+                    axis=-1), 0.2)
+        return out_t, logits
+
+    def _rgat(self, params, key, entity_emb, edge_mask=None,
+              mess_dropout=False, hop0=None):
         out = entity_emb
         for hop in range(self.context_hops):
-            out_h, out_t = self.seg_h.take(out), self.seg_t.take(out)
-            a_in = jnp.concatenate([out_h, out_t], axis=-1)
-            proj = a_in @ params["rgat_fc"]["w"] + params["rgat_fc"]["b"]
-            logits = jax.nn.leaky_relu(
-                jnp.sum(proj * self.rel_take.take(params["relation_embed"]), axis=-1), 0.2)
+            if hop == 0 and hop0 is not None:
+                out_t, logits = hop0
+            else:
+                out_h, out_t = self.seg_h.take(out), self.seg_t.take(out)
+                a_in = jnp.concatenate([out_h, out_t], axis=-1)
+                proj = a_in @ params["rgat_fc"]["w"] + params["rgat_fc"]["b"]
+                logits = jax.nn.leaky_relu(
+                    jnp.sum(proj * self.rel_take.take(params["relation_embed"]), axis=-1), 0.2)
             if edge_mask is not None:
                 logits = jnp.where(edge_mask > 0, logits, -1e9)
             # fused softmax+aggregate; edge_mask keeps fully-masked heads at
@@ -117,11 +136,13 @@ class KGCL(RecModel):
         mean = sum(acc) / len(acc)
         return mean[: self.user_num], mean[self.user_num:]
 
-    def forward(self, params, key, kg_mask=None, adj_vals=None, training=False):
+    def forward(self, params, key, kg_mask=None, adj_vals=None,
+                training=False, hop0=None):
         entity_emb = params["all_embed"][self.user_num:]
         kd, kr = jax.random.split(key)
         entity_emb = self._rgat(params, kr, entity_emb, edge_mask=kg_mask,
-                                mess_dropout=self.mess_dropout and training)
+                                mess_dropout=self.mess_dropout and training,
+                                hop0=hop0)
         if adj_vals is None:
             adj_vals = self.bi.view_vals(jnp.ones((self.bi.nnz_rect,), jnp.float32))
         return self._ui_prop(params, entity_emb, adj_vals)
@@ -176,17 +197,22 @@ class KGCL(RecModel):
             adj_vals = None
             kg_keep = None
 
+        # shared hop-0: identical across the three forwards (masks only touch
+        # the logits downstream); autodiff also merges their three take-
+        # cotangents into ONE blocked reduction each
+        hop0 = self._hop0(params, params["all_embed"][self.user_num:])
         user_emb, item_emb = self.forward(params, kmain, kg_mask=kg_keep,
-                                          adj_vals=adj_vals, training=True)
+                                          adj_vals=adj_vals, training=True,
+                                          hop0=hop0)
         u_e, pos_e, neg_e = user_emb[user], item_emb[pos], item_emb[neg]
         rec = losses.bpr_loss(u_e, pos_e, neg_e)
         reg = 0.5 * (jnp.sum(u_e**2) + jnp.sum(pos_e**2) + jnp.sum(neg_e**2)) \
             / u_e.shape[0]
 
         u1, i1 = self.forward(params, kv1, kg_mask=aux["kg_mask1"],
-                              adj_vals=aux["ui_vals1"])
+                              adj_vals=aux["ui_vals1"], hop0=hop0)
         u2, i2 = self.forward(params, kv2, kg_mask=aux["kg_mask2"],
-                              adj_vals=aux["ui_vals2"])
+                              adj_vals=aux["ui_vals2"], hop0=hop0)
         cl = self.cl_weight * (
             self._infonce_overall(u1[user], u2[user], u2)
             + self._infonce_overall(i1[pos], i2[pos], i2))

@@ -134,14 +134,23 @@ take_blocked.defvjp(_take_fwd, _take_bwd)
 # -- segment max (stabilisation; non-differentiable by design) --------------
 
 
-def _segmax_kernel(owners_ref, lrows_ref, vals_ref, out_ref):
+def _segmax_kernel(owners_ref, lrows_ref, vals_ref, out_hbm, acc_ref,
+                   copy_sem):
+    """Per-chunk masked max into a VMEM scratch accumulator; one DMA per
+    owner (same rationale as ``pallas_spmm._spmm_kernel``: a data-dependent
+    out BlockSpec round-trips the block through HBM every step)."""
     pl = _pl()
+    from jax.experimental.pallas import tpu as pltpu
+
     i = pl.program_id(0)
-    r = out_ref.shape[0]
+    n = pl.num_programs(0)
+    r = acc_ref.shape[0]
     m = lrows_ref.shape[-1]
 
-    is_first = jnp.logical_or(
-        i == 0, owners_ref[i] != owners_ref[jnp.maximum(i - 1, 0)])
+    owner = owners_ref[i]
+    is_first = jnp.logical_or(i == 0, owner != owners_ref[jnp.maximum(i - 1, 0)])
+    is_last = jnp.logical_or(
+        i == n - 1, owners_ref[jnp.minimum(i + 1, n - 1)] != owner)
 
     lrows = lrows_ref[0, 0, :]                                # [M]
     vals = vals_ref[0, 0, :]                                  # [M]
@@ -153,11 +162,18 @@ def _segmax_kernel(owners_ref, lrows_ref, vals_ref, out_ref):
 
     @pl.when(is_first)
     def _():
-        out_ref[...] = upd
+        acc_ref[...] = upd
 
     @pl.when(jnp.logical_not(is_first))
     def _():
-        out_ref[...] = jnp.maximum(out_ref[...], upd)
+        acc_ref[...] = jnp.maximum(acc_ref[...], upd)
+
+    @pl.when(is_last)
+    def _():
+        cp = pltpu.make_async_copy(
+            acc_ref, out_hbm.at[pl.ds(owner * r, r)], copy_sem)
+        cp.start()
+        cp.wait()
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 2))
@@ -198,7 +214,9 @@ def _segment_max_impl(bs: BlockedSegments, data: jnp.ndarray,
             pl.BlockSpec((1, 1, bg.m), lambda i, owners: (i, 0, 0)),
             pl.BlockSpec((1, 1, bg.m), lambda i, owners: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((bg.r, 128), lambda i, owners: (owners[i], 0)),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[pltpu.VMEM((bg.r, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
     )
     out = pl.pallas_call(
         _segmax_kernel,

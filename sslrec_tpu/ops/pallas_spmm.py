@@ -188,7 +188,10 @@ def _spmm_kernel(owners_ref, lrows_ref, contrib_ref, out_hbm, acc_ref,
                     precision=_mxu_precision(),
                     preferred_element_type=jnp.float32)
         groups.append(u)
-    update = groups[0] if pack == 1 else jnp.concatenate(groups, axis=1)
+    if acc_ref.shape[-1] > pack * d:  # lane-alignment padding (see caller)
+        groups.append(jnp.zeros((rq, acc_ref.shape[-1] - pack * d),
+                                jnp.float32))
+    update = groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=1)
 
     @pl.when(is_first)
     def _():
@@ -233,13 +236,24 @@ def _blocked_matvec(bg: BlockedGraph, contrib: jnp.ndarray,
     pl = _pl()
     pltpu = _pltpu()
     d = contrib.shape[-1]
-    pack = 128 // d if (128 % d == 0 and bg.m % (128 // d) == 0
-                        and bg.r % (128 // d) == 0) else 1
+    pack = 128 // d if 128 % d == 0 else 1
+    # Mosaic sublane alignment: block sublane dims (M/pack, R/pack) must stay
+    # multiples of 8 — clamp (d=1 degree-sum reductions would want pack=128)
+    while pack > 1 and not (bg.m % pack == 0 and bg.r % pack == 0
+                            and (bg.m // pack) % 8 == 0
+                            and (bg.r // pack) % 8 == 0):
+        pack //= 2
     mp = bg.m // pack
     rq = bg.r // pack
     # lane-pack: [chunks*M, d] -> [chunks*M/pack, pack*d]; the reshape is a
     # relayout XLA fuses into the producer gather's write (measured free)
     contrib = contrib.reshape(bg.n_chunks * mp, pack * d)
+    # Mosaic scratch/DMA lane alignment: pad odd widths (e.g. the fused
+    # attention's d+1 stack) up to a 128 multiple; pack>1 is already 128.
+    dk = pack * d
+    d_pad = -(-dk // 128) * 128
+    if d_pad != dk:
+        contrib = jnp.pad(contrib, ((0, 0), (0, d_pad - dk)))
     # local rows regrouped so sub-matmul k sees edges pack*e+k: [chunks, pack, M/pack]
     lrows = bg.local_rows.reshape(bg.n_chunks, mp, pack).swapaxes(1, 2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -247,16 +261,16 @@ def _blocked_matvec(bg: BlockedGraph, contrib: jnp.ndarray,
         grid=(bg.n_chunks,),
         in_specs=[
             pl.BlockSpec((1, pack, mp), lambda i, owners: (i, 0, 0)),
-            pl.BlockSpec((mp, pack * d), lambda i, owners: (i, 0)),
+            pl.BlockSpec((mp, d_pad), lambda i, owners: (i, 0)),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        scratch_shapes=[pltpu.VMEM((rq, pack * d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rq, d_pad), jnp.float32),
                         pltpu.SemaphoreType.DMA],
     )
     out = pl.pallas_call(
         functools.partial(_spmm_kernel, d=d, r=bg.r),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bg.n_rows_pad // pack, pack * d),
+        out_shape=jax.ShapeDtypeStruct((bg.n_rows_pad // pack, d_pad),
                                        jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -265,6 +279,8 @@ def _blocked_matvec(bg: BlockedGraph, contrib: jnp.ndarray,
             + bg.n_rows_pad * d * 4,
             transcendentals=0),
     )(bg.owners, lrows, contrib)
+    if d_pad != dk:  # drop the alignment padding lanes first
+        out = out[:, :dk]
     # packed rows are a row-major reinterpretation: reshape is layout-free
     return out.reshape(bg.n_rows_pad, d)[: bg.n_rows]
 
