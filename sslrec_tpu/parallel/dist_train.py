@@ -112,6 +112,43 @@ def _owned_lookup(table_local: jnp.ndarray, idx: jnp.ndarray, shard_size: int,
     return lax.psum(jnp.where(owned[:, None], vals, 0.0), axis)
 
 
+def partitioned_spmm(u_loc: int, i_loc: int, x_local: jnp.ndarray,
+                     e_rows: jnp.ndarray, e_cols: jnp.ndarray,
+                     e_vals: jnp.ndarray, axis: str = MODEL_AXIS):
+    """ONE graph-partitioned ``A @ x`` hop inside ``shard_map``.
+
+    The REUSABLE primitive for any bipartite propagation under the mesh:
+    ``x_local`` is this shard's ``[U_loc+I_loc, d]`` node state; ``e_*`` are
+    its destination-partitioned padded edge slices (from
+    :func:`partition_graph`).  all_gather reassembles the global node table
+    over ``axis`` (rides ICI), then the shard reduces exactly the edges whose
+    destination rows it owns — no scatter crosses shards.  Composable: call
+    per hop/view with per-view ``e_vals`` (edge dropout, learned gates).
+    """
+    full = _assemble_full(x_local, u_loc, i_loc, axis)
+    contrib = full[e_cols] * e_vals[:, None]
+    return jax.ops.segment_sum(contrib, e_rows,
+                               num_segments=u_loc + i_loc,
+                               indices_are_sorted=True)
+
+
+def partitioned_propagate(sg: ShardedGraph, u_local, i_local, e_rows, e_cols,
+                          e_vals, layer_num: int, combine: str = "sum",
+                          axis: str = MODEL_AXIS):
+    """LightGCN-style multi-hop propagation from shard-local tables.
+
+    ``combine``: 'sum' (x0 + Σ hops, LightGCN) or 'mean' (layer mean, the
+    KGCL/NCL convention).  Returns (user_local, item_local)."""
+    u_loc, i_loc = sg.u_loc, sg.i_loc
+    x = jnp.concatenate([u_local, i_local], axis=0)       # [U_loc+I_loc, d]
+    acc = [x]
+    for _ in range(layer_num):
+        x = partitioned_spmm(u_loc, i_loc, x, e_rows, e_cols, e_vals, axis)
+        acc.append(x)
+    out = sum(acc) if combine == "sum" else sum(acc) / len(acc)
+    return out[:u_loc], out[u_loc:]
+
+
 def build_sharded_lightgcn_step(mesh, sg: ShardedGraph, layer_num: int,
                                 reg_weight: float, keep_rate: float,
                                 optimizer):
@@ -123,15 +160,8 @@ def build_sharded_lightgcn_step(mesh, sg: ShardedGraph, layer_num: int,
     u_loc, i_loc = sg.u_loc, sg.i_loc
 
     def propagate_local(u_local, i_local, e_rows, e_cols, e_vals):
-        x = jnp.concatenate([u_local, i_local], axis=0)   # [U_loc+I_loc, d]
-        acc = x
-        for _ in range(layer_num):
-            full = _assemble_full(x, u_loc, i_loc, MODEL_AXIS)
-            contrib = full[e_cols] * e_vals[:, None]
-            x = jax.ops.segment_sum(contrib, e_rows, num_segments=sg.n_local,
-                                    indices_are_sorted=True)
-            acc = acc + x
-        return acc[:u_loc], acc[u_loc:]
+        return partitioned_propagate(sg, u_local, i_local, e_rows, e_cols,
+                                     e_vals, layer_num, combine="sum")
 
     def shard_loss(u_emb, i_emb, e_rows, e_cols, e_vals, users, poss, negs, key):
         # inside shard_map: u_emb [U_loc, d], e_* [1, E_pad] (model-sharded),

@@ -149,3 +149,78 @@ def test_sharded_topk_matches_global():
                     out_specs=P(), check_rep=False)(scores)
     _, ref = jax.lax.top_k(scores, 5)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_partitioned_spmm_reusable_multi_view(tiny_ui):
+    """partitioned_spmm/partitioned_propagate as a REUSABLE primitive: an
+    SGL-style two-view propagation (per-view edge weights, mean combine)
+    under shard_map matches the single-device spmm reference — demonstrating
+    the partitioned layout serves propagations beyond the LightGCN step."""
+    from sslrec_tpu.parallel.dist_train import partitioned_propagate
+
+    n_users, n_items = tiny_ui.shape
+    n_model = 2
+    mesh = make_mesh(n_data=4, n_model=n_model)
+    g = sparse_ops.from_scipy(sparse_ops.make_bi_adj(tiny_ui, *tiny_ui.shape))
+    sg = partition_graph(g, n_users, n_items, n_model)
+
+    d = 8
+    u_pad = sg.u_loc * n_model
+    i_pad = sg.i_loc * n_model
+    ku, ki, kw = jax.random.split(jax.random.PRNGKey(3), 3)
+    u_tab = jax.random.normal(ku, (u_pad, d))
+    i_tab = jax.random.normal(ki, (i_pad, d))
+    # two per-view edge weight vectors on the ORIGINAL edge order
+    w1 = jax.random.uniform(kw, (g.nnz,))
+    w2 = 1.0 - w1
+
+    # per-view sharded values: rebuild the partition on view-weighted graphs
+    g1 = sparse_ops.CooGraph(g.rows, g.cols, g.vals * w1, g.n_rows, g.n_cols)
+    g2 = sparse_ops.CooGraph(g.rows, g.cols, g.vals * w2, g.n_rows, g.n_cols)
+    sg1 = partition_graph(g1, n_users, n_items, n_model)
+    sg2 = partition_graph(g2, n_users, n_items, n_model)
+
+    from jax import lax
+
+    def gather_rows(x):
+        return lax.all_gather(x, "model").reshape(-1, x.shape[-1])
+
+    def f(u, i, r1, c1, v1, r2, c2, v2):
+        u1, i1 = partitioned_propagate(sg, u, i, r1[0], c1[0], v1[0],
+                                       layer_num=2, combine="mean")
+        u2, i2 = partitioned_propagate(sg, u, i, r2[0], c2[0], v2[0],
+                                       layer_num=2, combine="mean")
+        return gather_rows(u1 + u2), gather_rows(i1 + i2)
+
+    out_u, out_i = shard_map(
+        f, mesh=mesh,
+        in_specs=(P("model", None), P("model", None),
+                  P("model", None), P("model", None), P("model", None),
+                  P("model", None), P("model", None), P("model", None)),
+        out_specs=(P(), P()), check_rep=False)(
+        u_tab, i_tab, sg1.local_rows, sg1.cols, sg1.vals,
+        sg2.local_rows, sg2.cols, sg2.vals)
+
+    # single-device reference: same math on the padded node space
+    x0 = jnp.concatenate([u_tab, i_tab], axis=0)
+    n_pad = u_pad + i_pad
+    rows_p = jnp.where(g.rows < n_users, g.rows,
+                       u_pad + (g.rows - n_users))
+    cols_p = jnp.where(g.cols < n_users, g.cols,
+                       u_pad + (g.cols - n_users))
+
+    def ref_prop(w):
+        order = jnp.argsort(rows_p, stable=True)
+        gp = sparse_ops.CooGraph(rows_p[order], cols_p[order],
+                                 (g.vals * w)[order], n_pad, n_pad)
+        x, acc = x0, [x0]
+        for _ in range(2):
+            x = spmm(gp, x)
+            acc.append(x)
+        return sum(acc) / len(acc)
+
+    ref = ref_prop(w1) + ref_prop(w2)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(ref[:u_pad]),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out_i), np.asarray(ref[u_pad:]),
+                               rtol=2e-5, atol=2e-6)
