@@ -98,3 +98,24 @@ def test_evaluator_end_to_end(tiny_bundle):
     n = len(test_users)
     for m in got:
         np.testing.assert_allclose(got[m], ref[m] / n, rtol=1e-4, err_msg=m)
+
+
+def test_blocked_topk_exact_vs_laxtopk():
+    """topk_indices' blocked two-stage path (wide rows) must equal lax.top_k
+    exactly, INCLUDING tie order (lower index wins, as in torch.topk)."""
+    import jax
+    from jax import lax
+    from sslrec_tpu.ops.topk import topk_indices
+
+    key = jax.random.PRNGKey(7)
+    for b, n, k in [(5, 26822, 40), (3, 57001, 20), (2, 5000, 40)]:
+        # heavy quantisation => many exact ties across and within blocks
+        x = jnp.round(jax.random.normal(key, (b, n)) * 3.0)
+        ref = lax.top_k(x, k)[1]
+        got = topk_indices(x, k)
+        assert got.shape == (b, k)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # narrow rows stay on the plain path and must still be exact
+    x = jnp.round(jax.random.normal(key, (4, 300)))
+    np.testing.assert_array_equal(np.asarray(topk_indices(x, 10)),
+                                  np.asarray(lax.top_k(x, 10)[1]))

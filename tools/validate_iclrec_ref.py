@@ -22,7 +22,7 @@ against RAW centroids (faiss index holds unnormalised centroids), returned
 prototype embedding L2-normalised (iclrec.py:117-135).
 
 Usage: PYTHONPATH=/root/repo python tools/validate_iclrec_ref.py [n_epochs]
-Writes log to log/iclrec/ref_validation.log
+Writes log to results/iclrec_ref_validation.log (committed evidence dir)
 """
 
 from __future__ import annotations
@@ -41,7 +41,7 @@ from sslrec_tpu.data.sequential import read_tsv  # noqa: E402
 
 N_EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 DATA_DIR = "/root/reference/datasets/sequential/sports_seq"
-LOG_PATH = "log/iclrec/ref_validation.log"
+LOG_PATH = "results/iclrec_ref_validation.log"
 SEED = 2023
 BATCH = 512
 KS = (5, 10, 20)
@@ -102,7 +102,7 @@ def pad_left(seq, max_len):
 
 
 def main():
-    os.makedirs("log/iclrec", exist_ok=True)
+    os.makedirs("results", exist_ok=True)
     torch.manual_seed(SEED)
     np.random.seed(SEED)
     torch.set_num_threads(max(2, (os.cpu_count() or 8) - 4))
