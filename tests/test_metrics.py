@@ -119,3 +119,35 @@ def test_blocked_topk_exact_vs_laxtopk():
     x = jnp.round(jax.random.normal(key, (4, 300)))
     np.testing.assert_array_equal(np.asarray(topk_indices(x, 10)),
                                   np.asarray(lax.top_k(x, 10)[1]))
+
+
+def test_packed_bitmask_path_matches_scatter_path(tiny_bundle):
+    """The Evaluator's precomputed packed-bit history mask (default) and the
+    per-batch scatter path (mask_bits_mb=0) must produce identical metrics —
+    the bit path is a layout change, not a semantic one."""
+    import jax
+
+    class FakeModel:
+        def __init__(self, data):
+            self.item_num = data.item_num
+            self.u = jax.random.normal(jax.random.PRNGKey(0), (data.user_num, 8))
+            self.i = jax.random.normal(jax.random.PRNGKey(1), (data.item_num, 8))
+
+        def generate(self, params):
+            return self.u, self.i
+
+        def rating(self, ue, ie):
+            return ue @ ie.T
+
+    data = tiny_bundle
+    model = FakeModel(data)
+    base = {"test": {"metrics": ["recall", "ndcg", "precision", "mrr"],
+                     "k": [5, 10], "batch_size": 7}}
+    ev_bits = Evaluator(model, data.test, Config(base))
+    assert ev_bits._data[4] is not None, "bit path should be active"
+    scatter_cfg = {"test": dict(base["test"], mask_bits_mb=0)}
+    ev_scatter = Evaluator(model, data.test, Config(scatter_cfg))
+    assert ev_scatter._data[4] is None, "scatter path should be active"
+    a, b = ev_bits(None), ev_scatter(None)
+    for m in a:
+        np.testing.assert_allclose(a[m], b[m], rtol=1e-6, err_msg=m)
