@@ -232,9 +232,15 @@ class DiffKG(RecModel):
             x_t = self._pm_c1[i] * out + self._pm_c2[i] * x_t
         return x_t
 
-    def _dense_rows(self, idx):
-        cols = self.kg_rows.cols[idx]
-        mask = self.kg_rows.mask[idx]
+    def _dense_rows(self, idx, kg_cols=None, kg_mask=None):
+        # kg_cols/kg_mask are passed as jit ARGUMENTS by the diffusion
+        # programs: the padded row table is ~900 MB at alibaba-fashion scale
+        # (89k entities x 2,518 max degree) and a closed-over device array
+        # lowers as a literal HLO constant, overflowing the remote-compile
+        # request transport (HTTP 413) — same hazard as the evaluator's eval
+        # structures (trainer/metrics.py).
+        cols = (self.kg_rows.cols if kg_cols is None else kg_cols)[idx]
+        mask = (self.kg_rows.mask if kg_mask is None else kg_mask)[idx]
         b = idx.shape[0]
         rows = jnp.zeros((b, self.n_entities))
         r = jnp.broadcast_to(jnp.arange(b)[:, None], cols.shape)
@@ -268,8 +274,10 @@ class DiffKG(RecModel):
         key, k1, k2, k3 = jax.random.split(key, 4)
         self._dn_params, self._dn_opt_state, diff_loss = self._diff_epoch(
             self._dn_params, self._dn_opt_state,
-            jax.lax.stop_gradient(params), k1)
-        aux = self._rebuild(self._dn_params, k2)
+            jax.lax.stop_gradient(params), k1,
+            self.kg_rows.cols, self.kg_rows.mask)
+        aux = self._rebuild(self._dn_params, k2,
+                            self.kg_rows.cols, self.kg_rows.mask)
         self._last_dkg = aux["dkg"]  # cl_pattern==0 evaluates on the denoised KG
         return aux
 
@@ -279,7 +287,7 @@ class DiffKG(RecModel):
         n_batches = -(-n_ent // bsz)
         pad = n_batches * bsz - n_ent
 
-        def diff_epoch(dp, opt_state, params, key):
+        def diff_epoch(dp, opt_state, params, key, kg_cols, kg_mask):
             perm = jax.random.permutation(jax.random.fold_in(key, 0), n_ent)
             idx = jnp.concatenate([perm, perm[:pad]]).reshape(n_batches, bsz)
 
@@ -287,7 +295,7 @@ class DiffKG(RecModel):
                 dp, opt_state = carry
                 bidx, k = inp
                 kt, kn, kd = jax.random.split(k, 3)
-                x0 = self._dense_rows(bidx)
+                x0 = self._dense_rows(bidx, kg_cols, kg_mask)
                 ts = jax.random.randint(kt, (bsz,), 0, self.steps)
                 noise = jax.random.normal(kn, x0.shape)
                 x_t = self._q_sample(x0, ts, noise) if self.noise_scale != 0 else x0
@@ -320,9 +328,9 @@ class DiffKG(RecModel):
 
         self._diff_epoch = jax.jit(diff_epoch, donate_argnums=(0, 1))
 
-        def rebuild(dp, key):
+        def rebuild(dp, key, kg_cols, kg_mask):
             def chunk_top(idx):
-                x0 = self._dense_rows(idx)
+                x0 = self._dense_rows(idx, kg_cols, kg_mask)
                 den = self._p_sample(dp, x0)
                 _, top = lax.top_k(den, self.rebuild_k)
                 return top
