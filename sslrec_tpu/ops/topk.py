@@ -1,7 +1,9 @@
 """Top-k ranking kernels for full-sort evaluation.
 
-Replaces ``torch.topk`` on ``[B, n_items]`` score matrices
-(``trainer/metrics.py:108,165``).  Provides a sharded two-stage variant for
+Replaces ``torch.topk`` on ``[B, n_items]`` score matrices (the reference's
+``trainer/metrics.py`` full-sort eval; call sites here are the Evaluator's
+bitmask/scatter paths in ``sslrec_tpu/trainer/metrics.py``).  Provides a
+sharded two-stage variant for
 item-sharded score matrices: per-shard ``lax.top_k`` → all-gather the small
 ``[B, k]`` candidates → final merge — so the ``[B, n_items]`` matrix never has to
 be gathered across the mesh.
@@ -25,6 +27,11 @@ def topk_indices(scores: jnp.ndarray, k: int, block: int = 2048) -> jnp.ndarray:
     cost grows with row width; two stages cut the sorted width from ``n`` to
     ``nb*k`` (measured ~3x on eval-shaped [512, 57k] matrices,
     ``tools/bench_topk.py``).
+
+    NaN caveat (blocked path only): padding uses the dtype's finite min, so a
+    row whose every in-block value is NaN would rank its padding above the
+    NaNs, unlike plain ``lax.top_k``.  Scores here are finite by construction
+    (history masking writes -1e8, not -inf/NaN).
     """
     n = scores.shape[-1]
     if n <= 2 * block or k > block:
@@ -33,8 +40,12 @@ def topk_indices(scores: jnp.ndarray, k: int, block: int = 2048) -> jnp.ndarray:
     lead = scores.shape[:-1]
     nb = -(-n // block)
     pad = nb * block - n
+    if jnp.issubdtype(scores.dtype, jnp.floating):
+        lowest = jnp.finfo(scores.dtype).min
+    else:
+        lowest = jnp.iinfo(scores.dtype).min
     s = jnp.pad(scores, [(0, 0)] * len(lead) + [(0, pad)],
-                constant_values=-jnp.inf)
+                constant_values=lowest)
     v, i = lax.top_k(s.reshape(*lead, nb, block), k)
     gi = i + (jnp.arange(nb, dtype=jnp.int32) * block)[:, None]
     _, p = lax.top_k(v.reshape(*lead, nb * k), k)
