@@ -165,6 +165,41 @@ def test_kgcl_learns_and_ssl_helps():
     assert with_ssl > without + 0.01, (with_ssl, without)
 
 
+def _diffkg_cfg(**extra):
+    over = {
+        "train.epoch": 40, "train.batch_size": 64, "train.test_step": 40,
+        "train.patience": 0, "test.batch_size": 16, "test.k": [5, 10],
+        "model.embedding_size": 16, "model.dims_list": [64],
+        "model.rebuild_k": 2, "model.keepRate": 1.0, "model.triplet_num": 8,
+        "optimizer.lr": 5.0e-3,
+    }
+    over.update(extra)
+    return load_config("diffkg", overrides=over)
+
+
+def test_diffkg_learns_and_rebuild_recovers_kg():
+    """The diffusion→KG-rebuild→rec loop (reference ``trainer/trainer.py:
+    1205-1309``) on the planted-genre KG: (a) training lifts held-out recall
+    over random init; (b) after training, the denoiser's top-k reverse-sampled
+    rows reconstruct edges that EXIST in the original KG far above chance —
+    with ``keepRate: 1.0`` the rebuilt-edge validity mask is exactly the
+    (h, t)-found indicator, so its mean is the recovery rate (chance level =
+    mean KG row density ≈ row_degree/n_ent ≈ 4/136 ≈ 0.03)."""
+    cfg = _diffkg_cfg()
+    data = _kg_bundle(cfg)
+    model = build_model(cfg, data)
+    p0 = model.init_params(jax.random.PRNGKey(0))
+    before = float(Evaluator(model, data.test, cfg)(p0)["recall"][0])
+    trainer = Trainer(cfg, model, data, logger=_Silent())
+    trainer.train(p0)
+    after = float(trainer.test_results["recall"][0])
+    assert after > before + 0.10, (before, after)
+    aux = model._rebuild(model._dn_params, jax.random.PRNGKey(1),
+                         model.kg_rows.cols, model.kg_rows.mask)
+    recovered = float(np.mean(np.asarray(aux["dkg"][3])))
+    assert recovered > 0.30, recovered
+
+
 # -------------------------------------------------------------------- social
 
 
