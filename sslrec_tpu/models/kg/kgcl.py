@@ -25,6 +25,7 @@ function (``epoch_state``), not a host rebuild.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -69,6 +70,25 @@ class KGCL(RecModel):
         self.seg_h = SegmentOps(self.heads, self.n_entities)
         self.seg_t = SegmentOps(self.tails, self.n_entities)
         self.rel_take = OneHotTake(self.rels, self.n_relations)
+
+        # Under a config-driven mesh with a model axis, the UI propagation
+        # runs graph-partitioned (destination-owned edge shards + all_gather
+        # hops, ``parallel/dist_train.py``) instead of leaving the replicated
+        # edge arrays to GSPMD — the per-view normalised values ride the
+        # partitioned layout through ``src_idx`` (view_vals_partitioned).
+        from sslrec_tpu.parallel.mesh import MODEL_AXIS, mesh_from_config
+        self._mesh = mesh_from_config(cfg)
+        self._sg = None
+        if self._mesh is not None and self._mesh.shape.get(MODEL_AXIS, 1) > 1:
+            from sslrec_tpu.ops.sparse import CooGraph
+            from sslrec_tpu.parallel.dist_train import partition_graph
+            rows = np.asarray(self.bi._rows)
+            cols = np.asarray(self.bi._cols)
+            g = CooGraph(rows=rows, cols=cols,
+                         vals=np.ones(rows.shape[0], np.float32),
+                         n_rows=self.bi.n_nodes, n_cols=self.bi.n_nodes)
+            self._sg = partition_graph(g, self.user_num, self.item_num,
+                                       int(self._mesh.shape[MODEL_AXIS]))
 
     def init_params(self, key):
         ks = jax.random.split(key, 5)
@@ -128,6 +148,13 @@ class KGCL(RecModel):
     # -- UI propagation -----------------------------------------------------
     def _ui_prop(self, params, entity_emb, adj_vals):
         user_emb = params["all_embed"][: self.user_num]
+        if self._sg is not None:
+            from sslrec_tpu.parallel.dist_train import (
+                mesh_partitioned_propagate, view_vals_partitioned)
+            pv = view_vals_partitioned(self._sg, adj_vals)
+            return mesh_partitioned_propagate(
+                self._mesh, self._sg, user_emb, entity_emb[: self.item_num],
+                pv, self.layer_num, combine="mean")
         all_emb = jnp.concatenate([user_emb, entity_emb[: self.item_num]], axis=0)
         acc = [all_emb]
         for _ in range(self.layer_num):

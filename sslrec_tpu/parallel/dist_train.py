@@ -42,12 +42,17 @@ class ShardedGraph(NamedTuple):
 
     ``local_rows[p]``: destination row in shard-local node coordinates
     (0..U_loc+I_loc); ``cols[p]``: source node in *global padded* coordinates;
-    ``vals[p]``: edge weight (0 for padding).  All ``[P, E_pad]``.
+    ``vals[p]``: edge weight (0 for padding); ``src_idx[p]``: the edge's index
+    in the ORIGINAL (unpartitioned) edge list, -1 for padding slots — this is
+    what lets per-view edge values computed in original edge order (e.g.
+    KGCL's ``MaskableBiAdj.view_vals``) ride the partitioned layout via one
+    gather (:func:`view_vals_partitioned`).  All ``[P, E_pad]``.
     """
 
     local_rows: jnp.ndarray
     cols: jnp.ndarray
     vals: jnp.ndarray
+    src_idx: jnp.ndarray
     u_loc: int
     i_loc: int
     n_model: int
@@ -82,6 +87,8 @@ def partition_graph(g: CooGraph, n_users: int, n_items: int, n_model: int) -> Sh
     lr = np.zeros((n_model, e_max), np.int32)
     lc = np.zeros((n_model, e_max), np.int32)
     lv = np.zeros((n_model, e_max), np.float32)
+    si = np.full((n_model, e_max), -1, np.int32)
+    eids = np.arange(rows.shape[0], dtype=np.int32)
     for p in range(n_model):
         sel = owner == p
         k = int(sel.sum())
@@ -89,8 +96,9 @@ def partition_graph(g: CooGraph, n_users: int, n_items: int, n_model: int) -> Sh
         lr[p, :k] = local[sel][order]
         lc[p, :k] = cols_p[sel][order]
         lv[p, :k] = vals[sel][order]
+        si[p, :k] = eids[sel][order]
     return ShardedGraph(jnp.asarray(lr), jnp.asarray(lc), jnp.asarray(lv),
-                        u_loc, i_loc, n_model)
+                        jnp.asarray(si), u_loc, i_loc, n_model)
 
 
 def _assemble_full(local_nodes: jnp.ndarray, u_loc: int, i_loc: int, axis: str):
@@ -147,6 +155,45 @@ def partitioned_propagate(sg: ShardedGraph, u_local, i_local, e_rows, e_cols,
         acc.append(x)
     out = sum(acc) if combine == "sum" else sum(acc) / len(acc)
     return out[:u_loc], out[u_loc:]
+
+
+def view_vals_partitioned(sg: ShardedGraph, vals: jnp.ndarray) -> jnp.ndarray:
+    """Map per-view edge values in ORIGINAL edge order → the partitioned
+    ``[P, E_pad]`` layout (padding slots get 0).  One gather; jit-safe."""
+    return jnp.where(sg.src_idx >= 0, vals[jnp.clip(sg.src_idx, 0)], 0.0)
+
+
+def mesh_partitioned_propagate(mesh, sg: ShardedGraph, u_x: jnp.ndarray,
+                               i_x: jnp.ndarray, vals_part: jnp.ndarray,
+                               layer_num: int, combine: str = "sum"):
+    """Graph-partitioned multi-hop propagation, callable from ANY jitted model
+    step under ``train.mesh`` — the registry-reachable consumer entry of the
+    partitioned layout (first deployed for KGCL's UI propagation; the demo
+    sharded-LightGCN step in :func:`build_sharded_lightgcn_step` builds the
+    same hops inline).
+
+    ``u_x [U, d]`` / ``i_x [I, d]`` are unpadded node states (parameters or
+    activations); ``vals_part [P, E_pad]`` per-view edge values from
+    :func:`view_vals_partitioned`.  Pads both tables to the shard grid,
+    reshards them row-wise over ``model`` (GSPMD inserts the collectives),
+    runs the all_gather + owned-destination segment-sum hops inside
+    ``shard_map``, and returns unpadded ``(u_out, i_out)``.
+    """
+    u_loc, i_loc, n_model = sg.u_loc, sg.i_loc, sg.n_model
+    n_u, n_i = u_x.shape[0], i_x.shape[0]
+    u = jnp.pad(u_x, ((0, u_loc * n_model - n_u), (0, 0)))
+    i = jnp.pad(i_x, ((0, i_loc * n_model - n_i), (0, 0)))
+
+    def f(u_l, i_l, e_rows, e_cols, e_vals):
+        return partitioned_propagate(sg, u_l, i_l, e_rows[0], e_cols[0],
+                                     e_vals[0], layer_num, combine=combine)
+
+    specs = P(MODEL_AXIS, None)
+    out = shard_map(f, mesh=mesh,
+                    in_specs=(specs, specs, specs, specs, specs),
+                    out_specs=(specs, specs), check_rep=False)(
+        u, i, sg.local_rows, sg.cols, vals_part)
+    return out[0][:n_u], out[1][:n_i]
 
 
 def build_sharded_lightgcn_step(mesh, sg: ShardedGraph, layer_num: int,

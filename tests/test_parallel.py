@@ -224,3 +224,71 @@ def test_partitioned_spmm_reusable_multi_view(tiny_ui):
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(out_i), np.asarray(ref[u_pad:]),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_mesh_partitioned_propagate_entry(tiny_ui):
+    """The jit-callable consumer entry (KGCL's UI propagation path):
+    ``view_vals_partitioned`` maps original-order per-view values into the
+    partitioned layout and ``mesh_partitioned_propagate`` (pad → shard_map
+    hops → unpad) matches the single-device spmm reference on UNPADDED
+    tables with mean combine."""
+    from sslrec_tpu.parallel.dist_train import (
+        mesh_partitioned_propagate, view_vals_partitioned)
+
+    n_users, n_items = tiny_ui.shape
+    mesh = make_mesh(n_data=2, n_model=4)
+    g = sparse_ops.from_scipy(sparse_ops.make_bi_adj(tiny_ui, *tiny_ui.shape))
+    ones = sparse_ops.CooGraph(g.rows, g.cols,
+                               jnp.ones_like(g.vals), g.n_rows, g.n_cols)
+    sg = partition_graph(ones, n_users, n_items, n_model=4)
+
+    d = 8
+    ku, ki, kw = jax.random.split(jax.random.PRNGKey(7), 3)
+    u_x = jax.random.normal(ku, (n_users, d))
+    i_x = jax.random.normal(ki, (n_items, d))
+    vals = g.vals * jax.random.uniform(kw, (g.nnz,))  # per-view weights
+
+    pv = view_vals_partitioned(sg, vals)
+    live = np.asarray(sg.src_idx) >= 0
+    assert int(live.sum()) == g.nnz
+    np.testing.assert_allclose(np.asarray(pv)[live].sum(),
+                               np.asarray(vals).sum(), rtol=1e-5)
+
+    with mesh:
+        out_u, out_i = jax.jit(
+            lambda u, i, v: mesh_partitioned_propagate(
+                mesh, sg, u, i, v, layer_num=2, combine="mean"))(u_x, i_x, pv)
+
+    gp = sparse_ops.CooGraph(g.rows, g.cols, vals, g.n_rows, g.n_cols)
+    x = jnp.concatenate([u_x, i_x], axis=0)
+    acc = [x]
+    for _ in range(2):
+        x = spmm(gp, x)
+        acc.append(x)
+    ref = sum(acc) / len(acc)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(ref[:n_users]),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out_i), np.asarray(ref[n_users:]),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_kgcl_engages_partitioned_path():
+    """KGCL under train.mesh with model>1 must actually build and use the
+    partitioned layout (not fall back to replicated GSPMD edges) — the
+    mesh-parity test alone can't catch a silent fallback."""
+    from sslrec_tpu.config import load_config
+    from sslrec_tpu.data import kg as kg_data
+    from sslrec_tpu.models.registry import build_model
+    from tests.test_models_kg import _synthetic_kg
+
+    train_cf, test_cf, trip, n_ent, n_rel = _synthetic_kg(n_ents=34)
+    cfg = load_config("kgcl", overrides={
+        "model.embedding_size": 8,
+        "train.mesh": {"data": 4, "model": 2}})
+    data = kg_data.bundle_from_kg(cfg, train_cf, test_cf, trip, n_ent, n_rel)
+    model = build_model(cfg, data)
+    assert model._sg is not None and model._sg.n_model == 2
+    cfg1 = load_config("kgcl", overrides={"model.embedding_size": 8})
+    model1 = build_model(cfg1, kg_data.bundle_from_kg(
+        cfg1, train_cf, test_cf, trip, n_ent, n_rel))
+    assert model1._sg is None
