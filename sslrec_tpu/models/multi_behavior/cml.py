@@ -23,6 +23,15 @@ single optimiser step from zero state.  Behavior-wise positive/negative
 sampling (``CMLData.ng_sample``) runs on device: a global random item kept if
 it is an edge, else a CSR-gather from the user's own row, else invalid
 (loss-masked) — negatives rejection-sampled per behavior.
+
+No ``hparams()`` hook (tuner note): the shipped tune grid's ``reg_weight``
+lane is a DEAD KNOB in the reference — ``model.reg_weight`` is read only by
+``CML.cal_loss`` (reference ``cml.py:67``), which ``CMLTrainer`` never calls;
+the regulariser that actually trains is ``configs['train']['reg']``
+(``trainer/trainer.py:667,704,735``).  Vmapping a no-op lane would produce
+identical trials, so the grid stays on the tuner's serial fallback with its
+logged reason (``trainer/tuner.py``); the live knobs here are ``train.reg`` /
+``train.beta``, which are not in the shipped grid.
 """
 
 from __future__ import annotations

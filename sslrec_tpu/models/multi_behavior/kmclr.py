@@ -16,6 +16,15 @@ Parity with ``models/multi_behavior/kmclr.py:35-760`` and ``KMCLRTrainer``
   no-op; here it updates the KG parameters with the KG Adam, matching the
   paper's intent.  Noted as a deliberate deviation.)
 - SSL: CML's chunk-excluded InfoNCE on the user side only.
+
+No ``hparams()`` hook (tuner note): the shipped tune grid's ``reg_weight``
+lane is a DEAD KNOB in the reference — nothing in the reference KMCLR model
+or ``KMCLRTrainer`` reads ``configs['model']['reg_weight']`` (verified by
+grep over ``models/multi_behavior/kmclr.py`` and ``trainer/trainer.py:
+901-1049``); the effective regularisation is the optimisers'
+``weight_decay``/``decay``.  Vmapping a no-op lane would produce identical
+trials, so the grid stays on the tuner's serial fallback with its logged
+reason (``trainer/tuner.py``).
 """
 
 from __future__ import annotations
