@@ -11,6 +11,8 @@ be gathered across the mesh.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -34,7 +36,14 @@ def topk_indices(scores: jnp.ndarray, k: int, block: int = 2048) -> jnp.ndarray:
     (history masking writes -1e8, not -inf/NaN).
     """
     n = scores.shape[-1]
-    if n <= 2 * block or k > block:
+    # measurement escape hatch (read at trace time; unset → unchanged HLO):
+    # SSLREC_TOPK_BLOCK=0 forces the plain lax.top_k path, a positive value
+    # overrides the block size — used by tools/bench_eval_paths.py to
+    # attribute eval-throughput deltas to the blocked merge vs the mask path
+    env_block = os.environ.get("SSLREC_TOPK_BLOCK")
+    if env_block is not None:
+        block = int(env_block)
+    if block <= 0 or n <= 2 * block or k > block:
         _, idx = lax.top_k(scores, k)
         return idx
     lead = scores.shape[:-1]

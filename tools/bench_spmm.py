@@ -45,14 +45,18 @@ def timeit(fn, xs, iters=24, warmup=2):
 
 def run_bench(d=32, r=256, m=512, precision=None, iters=24):
     """Component timings dict (see module docstring); reusable from bench.py."""
-    if precision:
-        import os
-        os.environ["SSLREC_PALLAS_PRECISION"] = precision
-
     from sslrec_tpu.config import load_config
     from sslrec_tpu.data.registry import load_data
     from sslrec_tpu.ops import pallas_spmm as ps
     from sslrec_tpu.ops.sparse import CooGraph
+
+    if precision:
+        import os
+        os.environ["SSLREC_PALLAS_PRECISION"] = precision
+        # _mxu_precision is lru_cached — without this, a second in-process
+        # run_bench silently keeps the FIRST call's mode (r4 bench caught it:
+        # the "default" column reported rel_err 2e-7, i.e. still highest)
+        ps._mxu_precision.cache_clear()
 
     cfg = load_config("lightgcn")
     data = load_data(cfg)
