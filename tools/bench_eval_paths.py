@@ -17,8 +17,11 @@ Prints one JSON line; run via the queue (one process owns the chip).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from sslrec_tpu.utils.jax_setup import setup_jax
 
