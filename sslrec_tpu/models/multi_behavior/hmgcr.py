@@ -24,7 +24,17 @@ def grace_loss(z1, z2, tau, chunk=1024):
     """Full GRACE objective: -log between.diag / (refl.sum + between.sum -
     refl.diag) averaged over nodes (``hmgcr.py:37-59`` computes exactly this,
     in host-side batches).  Row-chunked so the [N, N] similarity matrix never
-    materialises (the [C, N] tile lives in registers/VMEM per map step)."""
+    materialises (the [C, N] tile lives in registers/VMEM per map step).
+
+    The chunk body is ``jax.checkpoint``-ed: without it, autodiff through the
+    scan stacks every chunk's [C, N] exp-similarity residuals — at social
+    DcRec's 66,576-item yelp scale that is a single 18 GB buffer (observed
+    compile-time OOM, round-4 diag run).  The reference has the same flaw
+    physically: ``dcrec.py:209-230`` keeps all ``num_batches`` [1024, N]
+    torch activations alive for backward (>30 GB at that scale — its own
+    "TODO: out of memory problem" comment), so remat here makes the TPU
+    formulation strictly more capable, at one extra forward of the chunk
+    matmuls during the backward pass."""
     n = z1.shape[0]
     z1n = z1 / jnp.sqrt(jnp.sum(jnp.square(z1), -1, keepdims=True) + 1e-12)
     z2n = z2 / jnp.sqrt(jnp.sum(jnp.square(z2), -1, keepdims=True) + 1e-12)
@@ -42,7 +52,7 @@ def grace_loss(z1, z2, tau, chunk=1024):
         val = -jnp.log(jnp.exp(diag_b / tau) / denom + 1e-8)
         return jnp.sum(jnp.where(ridx < n, val, 0.0))
 
-    sums = jax.lax.map(row_chunk,
+    sums = jax.lax.map(jax.checkpoint(row_chunk),
                        (z1p.reshape(-1, chunk, z1p.shape[1]),
                         idx.reshape(-1, chunk)))
     return jnp.sum(sums) / n
