@@ -18,17 +18,19 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def topk_indices(scores: jnp.ndarray, k: int, block: int = 2048) -> jnp.ndarray:
+def topk_indices(scores: jnp.ndarray, k: int, block: int = 0) -> jnp.ndarray:
     """Top-k item indices per row (ties broken by lower index, like torch).
 
-    For wide rows this runs the EXACT blocked two-stage form: per-block
-    ``lax.top_k`` (every global top-k element is inside its block's top-k)
-    followed by a merge over the ``nb*k`` candidates.  Tie order is preserved:
-    blocks are index-ordered in the candidate list and ``lax.top_k`` is stable,
-    so equal values still resolve to the lowest index.  On TPU ``lax.top_k``
-    cost grows with row width; two stages cut the sorted width from ``n`` to
-    ``nb*k`` (measured ~3x on eval-shaped [512, 57k] matrices,
-    ``tools/bench_topk.py``).
+    DEFAULT: plain ``lax.top_k``.  The blocked two-stage form (``block > 0``,
+    or env ``SSLREC_TOPK_BLOCK``) is EXACT — per-block ``lax.top_k`` (every
+    global top-k element is inside its block's top-k) then a merge over the
+    ``nb*k`` candidates, tie order preserved (blocks are index-ordered in the
+    candidate list and ``lax.top_k`` is stable, so equal values still resolve
+    to the lowest index) — but it MEASURES SLOWER on the real eval shapes:
+    round-4 quiet-chip head-to-head (``tools/bench_eval_paths.py``) put the
+    yelp [1024, 26822] evaluator at 79.6k users/s blocked vs **179.4k plain**
+    (2.25x).  Round 3's "~3x faster on [512, 57k]" micro-bench (66afef8) did
+    not survive in-context re-measurement — kept opt-in for experimentation.
 
     NaN caveat (blocked path only): padding uses the dtype's finite min, so a
     row whose every in-block value is NaN would rank its padding above the
@@ -36,10 +38,7 @@ def topk_indices(scores: jnp.ndarray, k: int, block: int = 2048) -> jnp.ndarray:
     (history masking writes -1e8, not -inf/NaN).
     """
     n = scores.shape[-1]
-    # measurement escape hatch (read at trace time; unset → unchanged HLO):
-    # SSLREC_TOPK_BLOCK=0 forces the plain lax.top_k path, a positive value
-    # overrides the block size — used by tools/bench_eval_paths.py to
-    # attribute eval-throughput deltas to the blocked merge vs the mask path
+    # env override read at trace time (unset → default argument)
     env_block = os.environ.get("SSLREC_TOPK_BLOCK")
     if env_block is not None:
         block = int(env_block)
