@@ -58,6 +58,59 @@ def grace_loss(z1, z2, tau, chunk=1024):
     return jnp.sum(sums) / n
 
 
+def grace_pair_losses(zs, tau, chunk=256):
+    """All-pairs GRACE semi-losses over G same-shaped [N, d] views in ONE
+    chunked pass.
+
+    Social DcRec's objective needs 12 user-level ``semi_loss`` instances (all
+    ordered pairs of its 4 user views) + 2 item-level; tracing each as its own
+    chunked map produced a step program whose XLA compile ran >20 min at the
+    real yelp scale (round-4 diag).  Every semi-loss only needs *row-sums* of
+    exp-similarities against each view, so one pass over the concatenated
+    views computes all G² row-sum tables with zero waste when all pairs are
+    consumed (DcRec uses all 6 unordered user pairs):
+
+        semi(g→h)[i] = -log( e^{sim_i(g,h)/τ} /
+                             (rowsum_i(g,g) + rowsum_i(g,h) − e^{‖z_g,i‖²/τ}) )
+
+    bit-equal in structure to :func:`grace_loss`'s per-pair form (refl row
+    sum + between row sum − refl diag; +1e-8 inside the log).  Chunk body is
+    rematerialised like :func:`grace_loss`.  Returns ``{(g, h): mean-reduced
+    semi-loss}`` for all ordered pairs; the symmetric GCA objective is
+    ``0.5 * (out[g, h] + out[h, g])``.
+    """
+    g_n = len(zs)
+    n = zs[0].shape[0]
+    zn = [z / jnp.sqrt(jnp.sum(jnp.square(z), -1, keepdims=True) + 1e-12)
+          for z in zs]
+    z_all = jnp.concatenate(zn, 0)                        # [G*N, d]
+    pad = (-g_n * n) % chunk
+    zq = (jnp.concatenate([z_all, jnp.zeros((pad, z_all.shape[1]))])
+          if pad else z_all)
+
+    def row_chunk(rows):
+        s = jnp.exp(rows @ z_all.T / tau)                 # [C, G*N]
+        return jnp.sum(s.reshape(rows.shape[0], g_n, n), -1)  # [C, G]
+
+    sums = jax.lax.map(jax.checkpoint(row_chunk),
+                       zq.reshape(-1, chunk, z_all.shape[1]))
+    sums = sums.reshape(-1, g_n)[: g_n * n].reshape(g_n, n, g_n)  # [g, i, h]
+
+    out = {}
+    for g in range(g_n):
+        # refl diag: ‖zn_g‖² per row (≈1, but exactly 0 for all-zero rows —
+        # post-relu views can produce them, so don't assume 1)
+        self_diag = jnp.exp(jnp.sum(zn[g] * zn[g], -1) / tau)
+        for h in range(g_n):
+            if g == h:
+                continue
+            diag = jnp.sum(zn[g] * zn[h], -1)
+            denom = sums[g, :, g] + sums[g, :, h] - self_diag
+            val = -jnp.log(jnp.exp(diag / tau) / denom + 1e-8)
+            out[(g, h)] = jnp.sum(val) / n
+    return out
+
+
 class GCNTower:
     """Per-metapath tower: embeddings + per-layer weights (functional)."""
 

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from sslrec_tpu.models import losses
 from sslrec_tpu.models.base import RecModel
-from sslrec_tpu.models.multi_behavior.hmgcr import grace_loss
+from sslrec_tpu.models.multi_behavior.hmgcr import grace_pair_losses
 from sslrec_tpu.ops.spmm import spmm_layers
 from sslrec_tpu.utils.initializers import apply_linear, linear_params, xavier_uniform
 
@@ -155,10 +155,6 @@ class DcRec(RecModel):
         return acc / (self.layer_num + 1)
 
     # -- objective (``dcrec.py:237-255``) ------------------------------------
-    def _gca(self, z1, z2):
-        """Symmetrised GRACE loss (``dcrec.py:228-235``, mean-reduced)."""
-        return 0.5 * (grace_loss(z1, z2, self.tau) + grace_loss(z2, z1, self.tau))
-
     def hparams(self):
         """Traced tune-grid scalars (structural: layer_num)."""
         return {"reg_weight": jnp.float32(self.reg_weight),
@@ -202,11 +198,19 @@ class DcRec(RecModel):
         ancs, poss, negs = batch["user"], batch["pos"], batch["neg"]
         anc_e, pos_e, neg_e = user_embeds[ancs], item_embeds[poss], item_embeds[negs]
         bpr = losses.bpr_loss(anc_e, pos_e, neg_e)
-        cross = cross_w * (
-            self._gca(uu1, uiu1) + self._gca(uu1, uiu2)
-            + self._gca(uu2, uiu1) + self._gca(uu2, uiu2))
-        i_loss = self._gca(uiu1, uiu2) + self._gca(uii1, uii2)
-        s_loss = self._gca(uu1, uu2)
+        # all 6 unordered pairs of the 4 user views are consumed, so the
+        # fused all-pairs pass (ONE chunked map instead of 12 semi-loss
+        # instances) wastes nothing — the per-pair form compiled >20 min at
+        # the real 43k x 66k yelp scale (see grace_pair_losses)
+        pu = grace_pair_losses([uu1, uu2, uiu1, uiu2], self.tau)
+
+        def gca(a, b):
+            return 0.5 * (pu[(a, b)] + pu[(b, a)])
+
+        pi = grace_pair_losses([uii1, uii2], self.tau)
+        cross = cross_w * (gca(0, 2) + gca(0, 3) + gca(1, 2) + gca(1, 3))
+        i_loss = gca(2, 3) + 0.5 * (pi[(0, 1)] + pi[(1, 0)])
+        s_loss = gca(0, 1)
         domain = domain_w * (i_loss + s_loss)
         reg = reg_w * losses.reg_pick_embeds([anc_e, pos_e, neg_e])
         loss = bpr + reg + domain + cross
