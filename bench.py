@@ -155,6 +155,14 @@ def _edge_flops_per_epoch(nnz, d, layers, n_batches, spmm_apps_per_step=None):
     return 2.0 * nnz * d * apps * n_batches
 
 
+def _edge_fetch_ns(epoch_s, fl, d):
+    """Achieved ns per edge-row fetch — the honest roofline axis for the
+    HBM/latency-bound graph models (random-row gathers are fetch-count bound
+    at ~6.5 ns/row on v5e regardless of row bytes, BASELINE.md r3 analysis).
+    fetches/epoch = edge-FLOPs / (2·d)."""
+    return epoch_s / (fl / (2.0 * d)) * 1e9
+
+
 def bench_lightgcn(budget_s=None, t_start=None):
     cfg, data = _load_cf("lightgcn", "yelp")
     epoch_s, ex_s, ev_s = _throughput(cfg, data, budget_s=budget_s,
@@ -165,7 +173,9 @@ def bench_lightgcn(budget_s=None, t_start=None):
     fl = _edge_flops_per_epoch(nnz, int(cfg.model.embedding_size),
                                int(cfg.model.layer_num), n_batches)
     return {"epoch_s": epoch_s, "train_examples_per_s": ex_s,
-            "eval_users_per_s": ev_s, "mfu": fl / epoch_s / PEAK_FLOPS}
+            "eval_users_per_s": ev_s, "mfu": fl / epoch_s / PEAK_FLOPS,
+            "edge_fetch_ns": _edge_fetch_ns(
+                epoch_s, fl, int(cfg.model.embedding_size))}
 
 
 def bench_sgl(budget_s=None, t_start=None):
@@ -180,7 +190,9 @@ def bench_sgl(budget_s=None, t_start=None):
                                int(cfg.model.layer_num), n_batches,
                                spmm_apps_per_step=3 * 2 * int(cfg.model.layer_num))
     return {"epoch_s": epoch_s, "train_examples_per_s": ex_s,
-            "eval_users_per_s": ev_s, "mfu": fl / epoch_s / PEAK_FLOPS}
+            "eval_users_per_s": ev_s, "mfu": fl / epoch_s / PEAK_FLOPS,
+            "edge_fetch_ns": _edge_fetch_ns(
+                epoch_s, fl, int(cfg.model.embedding_size))}
 
 
 def bench_bert4rec(budget_s=None, t_start=None):
@@ -251,7 +263,8 @@ def bench_kgcl(budget_s=None, t_start=None):
     fl = _edge_flops_per_epoch(len(trip) + 3 * ui_nnz, d,
                                1, n_batches, spmm_apps_per_step=2)
     return {"epoch_s": epoch_s, "train_examples_per_s": ex_s,
-            "eval_users_per_s": ev_s, "mfu": fl / epoch_s / PEAK_FLOPS}
+            "eval_users_per_s": ev_s, "mfu": fl / epoch_s / PEAK_FLOPS,
+            "edge_fetch_ns": _edge_fetch_ns(epoch_s, fl, d)}
 
 
 def bench_cml(budget_s=None, t_start=None):
@@ -270,7 +283,8 @@ def bench_cml(budget_s=None, t_start=None):
     fl = _edge_flops_per_epoch(nnz, d, int(cfg.model.get("layer_num", 2)),
                                n_batches, spmm_apps_per_step=3 * 2 * 2)
     return {"epoch_s": epoch_s, "train_examples_per_s": ex_s,
-            "eval_users_per_s": ev_s, "mfu": fl / epoch_s / PEAK_FLOPS}
+            "eval_users_per_s": ev_s, "mfu": fl / epoch_s / PEAK_FLOPS,
+            "edge_fetch_ns": _edge_fetch_ns(epoch_s, fl, d)}
 
 
 def bench_eval_paths(budget_s=None, t_start=None):
