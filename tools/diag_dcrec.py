@@ -33,7 +33,7 @@ def log(msg):
 
 
 def main():
-    cfg = load_config("dcrec")
+    cfg = load_config("dcrec", overrides={"data.dir": "datasets"})
     data = load_data(cfg)
     log(f"data loaded ({data.user_num} x {data.item_num})")
     model = build_model(cfg, data)
