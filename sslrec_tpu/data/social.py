@@ -80,6 +80,40 @@ def build_joint_adjacency(trn_mat: sp.coo_matrix) -> sp.coo_matrix:
     return sp.coo_matrix((vals, (coo.row, coo.col)), coo.shape)
 
 
+def _sampled_cooc(mat, rate, rng):
+    """Rows sharing a column with row i, per-row-subsampled at ``rate``
+    (reference ``_gen_metapath`` semantics: full neighbor set per row, then
+    ``np.random.choice(size*rate)``; native kernel does the sampling).
+
+    The co-occurrence product is computed in ROW CHUNKS and sampled chunk by
+    chunk: materialising ``m @ m.T`` whole is quadratic in the large-category
+    row sets — at the real yelp scale the category co-membership product has
+    ~1.6e9 nonzeros (largest category: 29,858 items), which stalled the
+    round-4 KCGN/SMIN diagnostics before sampling ever ran.  The per-chunk
+    form computes the identical row neighbor sets with bounded memory."""
+    from sslrec_tpu import native
+
+    m = mat.tocsr().astype(np.float32)
+    mt = m.T.tocsr()
+    n = m.shape[0]
+    probe_n = min(64, n)
+    probe = (m[:probe_n] @ mt).tocsr()
+    avg = max(probe.nnz / max(probe_n, 1), 1.0)
+    chunk = int(max(64, min(n, 3e7 / avg)))
+    rows_out, cols_out = [], []
+    for s in range(0, n, chunk):
+        cooc = (m[s:s + chunk] @ mt).tocsr()
+        r, c = native.sampled_cooc_edges(cooc.indptr, cooc.indices, rate,
+                                         seed=int(rng.integers(1 << 31)))
+        rows_out.append(np.asarray(r, np.int64) + s)
+        cols_out.append(np.asarray(c, np.int64))
+    r = np.concatenate(rows_out) if rows_out else np.zeros(0, np.int64)
+    c = np.concatenate(cols_out) if cols_out else np.zeros(0, np.int64)
+    out = sp.coo_matrix((np.ones(len(r), np.float32), (r, c)),
+                        shape=(n, n)).tocsr()
+    return ((out + out.T + sp.eye(n, format="csr")) != 0)
+
+
 def gen_metapaths(trn_mat, trust_mat, category_mat, rng=None):
     """SMIN metapath graphs UU/UIU/UITIU/ITI/IUI
     (``data_handler_social.py:139-213``): randomly-subsampled co-occurrence
@@ -92,17 +126,7 @@ def gen_metapaths(trn_mat, trust_mat, category_mat, rng=None):
     uu = ((trust_mat.T + trust_mat) + sp.eye(n_users, format="csr")) != 0
 
     def sampled_cooc(mat, rate):
-        """rows sharing a column with row i, subsampled at ``rate``
-        (native kernel; numpy fallback inside)."""
-        from sslrec_tpu import native
-
-        m = mat.tocsr()
-        cooc = (m @ m.T).tocsr()
-        r, c = native.sampled_cooc_edges(cooc.indptr, cooc.indices, rate,
-                                         seed=int(rng.integers(1 << 31)))
-        out = sp.coo_matrix((np.ones(len(r), np.float32), (r, c)),
-                            shape=(m.shape[0], m.shape[0])).tocsr()
-        return ((out + out.T + sp.eye(m.shape[0], format="csr")) != 0)
+        return _sampled_cooc(mat, rate, rng)
 
     uiu = sampled_cooc(trn, 0.3)
     iui = sampled_cooc(trn.T, 0.25)
@@ -132,13 +156,32 @@ def gen_ui_subgraph(trn_mat, metapath, k_hop=2):
         c = rng.choice(iti.col, size=k, replace=False)
         g[n_users + r, n_users + c] = 1
     one_hop = g.tocsr()
-    sub = one_hop.copy().tolil()
-    if k_hop > 1:
+    sub = one_hop.copy()
+    if k_hop == 2:
+        # chunked 2-hop: the full reach product at real yelp scale (110k
+        # nodes, power-law degrees) holds hundreds of millions of nonzeros;
+        # thresholding (>10 paths) per row chunk keeps memory bounded and
+        # the result identical
+        n_nodes = one_hop.shape[0]
+        chunk = 4096
+        strong_parts = []
+        for s in range(0, n_nodes, chunk):
+            reach_c = one_hop[s:s + chunk] @ one_hop
+            sc = (reach_c > 10).tocoo()
+            if sc.nnz:
+                strong_parts.append(sp.coo_matrix(
+                    (np.ones(sc.nnz, np.float32), (sc.row + s, sc.col)),
+                    shape=one_hop.shape))
+        if strong_parts:
+            sub = sub + sum(strong_parts[1:], strong_parts[0])
+    elif k_hop > 2:
         reach = one_hop
+        subl = sub.tolil()
         for _ in range(k_hop - 1):
             reach = (reach @ one_hop)
             strong = reach > 10
-            sub[strong.nonzero()] = 1
+            subl[strong.nonzero()] = 1
+        sub = subl.tocsr()
     return one_hop, (sub.tocsr() != 0)
 
 
@@ -184,7 +227,17 @@ def build_kcgn_structs(cfg, trn_rated, trn_time, trust_mat, category_mat):
 
     uu = ((trust_mat.T + trust_mat) + sp.eye(n_users, format="csr")) != 0
     cat = sp.csr_matrix(category_mat)
-    ii = ((cat @ cat.T) != 0)
+    # SAMPLED category co-membership, like the reference's `_gen_uu_vv_graph`
+    # (``data_handler_social.py:288-303``: per (item, category) it samples
+    # size·rate/2 co-members at rate 0.1/0.01/0.001 by size) — the FULL
+    # ``cat @ cat.T`` is ~1.6e9 nnz at real yelp scale (largest category
+    # 29,858 items) and stalled the round-4 diagnostic.  Deviation: one
+    # per-row-set rate (0.002 ≈ the ladder's effective average) instead of
+    # the per-category ladder; tiny toy categories keep a dense-ish graph
+    # via the higher fallback rate.
+    rng = np.random.default_rng(int(cfg.train.get("seed", 0)))
+    ii_rate = 0.002 if cat.shape[0] > 500 else 0.3
+    ii = _sampled_cooc(cat, ii_rate, rng)
 
     def dgi_graph(m):
         deg = np.asarray(m.sum(1)).reshape(-1)
