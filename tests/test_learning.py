@@ -318,6 +318,23 @@ def test_kcgn_learns():
     assert after > before + 0.04, (before, after)
 
 
+def test_dcrec_social_learns():
+    """Social DcRec (dual-domain GRACE contrast) lifts held-out recall over
+    random init on the planted communities — pins the fused all-pairs GRACE
+    objective (grace_pair_losses) end-to-end through training.  lr raised
+    from the reference's 5e-5 (which barely moves in 60 tiny epochs) and
+    weight_decay dropped; the objective wiring is what's under test."""
+    cfg = load_config("dcrec", overrides={
+        "train.epoch": 60, "train.batch_size": 128, "train.test_step": 60,
+        "train.patience": 0, "train.scan_chunk": 0, "test.batch_size": 16,
+        "test.k": [5, 10], "model.embedding_size": 16,
+        "optimizer.lr": 5.0e-3, "optimizer.weight_decay": 0.0,
+    })
+    data = _social_bundle(cfg)
+    before, after = _train_recall(cfg, data)
+    assert after > before + 0.04, (before, after)
+
+
 def test_smin_learns():
     """SMIN (metapath GCNs + semantic attention + Informax) on the planted
     communities, where the UU/UIU/ITI metapaths carry the community signal."""
