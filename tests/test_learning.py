@@ -165,6 +165,33 @@ def test_kgcl_learns_and_ssl_helps():
     assert with_ssl > without + 0.01, (with_ssl, without)
 
 
+def test_kgin_learns():
+    """KGIN (intent-disentangled relational GNN) on the planted-genre KG."""
+    cfg = load_config("kgin", overrides={
+        "train.epoch": 60, "train.batch_size": 64, "train.test_step": 60,
+        "train.patience": 0, "train.scan_chunk": 0, "test.batch_size": 16,
+        "test.k": [5, 10], "model.embedding_size": 16,
+        "optimizer.lr": 5.0e-3,
+    })
+    data = _kg_bundle(cfg)
+    before, after = _train_recall(cfg, data)
+    assert after > before + 0.10, (before, after)
+
+
+def test_kgrec_learns():
+    """KGRec (rationale-weighted KG aggregation + MAE + CL) on the
+    planted-genre KG."""
+    cfg = load_config("kgrec", overrides={
+        "train.epoch": 60, "train.batch_size": 64, "train.test_step": 60,
+        "train.patience": 0, "train.scan_chunk": 0, "test.batch_size": 16,
+        "test.k": [5, 10], "model.embedding_size": 16,
+        "optimizer.lr": 5.0e-3,
+    })
+    data = _kg_bundle(cfg)
+    before, after = _train_recall(cfg, data)
+    assert after > before + 0.10, (before, after)
+
+
 def _diffkg_cfg(**extra):
     over = {
         "train.epoch": 40, "train.batch_size": 64, "train.test_step": 40,
@@ -314,6 +341,19 @@ def test_kcgn_learns():
         "model.embedding_size": 16, "optimizer.lr": 5.0e-3,
     })
     data = _social_bundle_with_structs(cfg, with_time=True)
+    before, after = _train_recall(cfg, data)
+    assert after > before + 0.04, (before, after)
+
+
+def test_dsl_learns():
+    """DSL (dual LightGCN towers + denoised cross-view label matching) on the
+    planted communities — trust carries the held-out signal."""
+    cfg = load_config("dsl", overrides={
+        "train.epoch": 60, "train.batch_size": 128, "train.test_step": 60,
+        "train.patience": 0, "test.batch_size": 16, "test.k": [5, 10],
+        "model.embedding_size": 16, "optimizer.lr": 5.0e-3,
+    })
+    data = _social_bundle(cfg)
     before, after = _train_recall(cfg, data)
     assert after > before + 0.04, (before, after)
 
