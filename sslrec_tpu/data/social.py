@@ -233,10 +233,11 @@ def build_kcgn_structs(cfg, trn_rated, trn_time, trust_mat, category_mat):
     # ``cat @ cat.T`` is ~1.6e9 nnz at real yelp scale (largest category
     # 29,858 items) and stalled the round-4 diagnostic.  Deviation: one
     # per-row-set rate (0.002 ≈ the ladder's effective average) instead of
-    # the per-category ladder; tiny toy categories keep a dense-ish graph
-    # via the higher fallback rate.
+    # the per-category ladder; toy-scale inputs keep the EXACT product
+    # (rate 1.0 retains every co-member), which is what the torch parity
+    # test pins against.
     rng = np.random.default_rng(int(cfg.train.get("seed", 0)))
-    ii_rate = 0.002 if cat.shape[0] > 500 else 0.3
+    ii_rate = 0.002 if cat.shape[0] > 500 else 1.0
     ii = _sampled_cooc(cat, ii_rate, rng)
 
     def dgi_graph(m):
