@@ -1,0 +1,35 @@
+#!/bin/bash
+# Wedge watchdog for the runqueue: the axon transport can leave a training
+# process blocked forever on a device call that will never return (observed:
+# DiffKG froze mid-epoch 47 with zero further CPU accumulation).  Kill the
+# CURRENT job's python (exact pid, never a pattern) when its log file already
+# contains at least one "[Epoch" line (i.e. it is past compile — post-compile
+# log gaps are bounded by epoch time, <=~150 s on every queued workload) but
+# has not been written to for STALE_S seconds.  Pre-compile silence is left
+# alone: cold Mosaic compiles through the tunnel legitimately take 15-20 min.
+#
+# Usage: bash tools/watchdog.sh <runqueue_pid> [stale_seconds]
+set -u
+RQ_PID=${1:?runqueue pid}
+STALE_S=${2:-1200}
+cd /root/repo
+while kill -0 "$RQ_PID" 2>/dev/null; do
+  sleep 60
+  to_pid=$(pgrep -P "$RQ_PID" | head -1)           # timeout
+  [ -z "${to_pid:-}" ] && continue
+  sh_pid=$(pgrep -P "$to_pid" | head -1)           # bash -c (or python)
+  [ -z "${sh_pid:-}" ] && continue
+  py_pid=$(pgrep -P "$sh_pid" | head -1)           # python (if bash forked)
+  py_pid=${py_pid:-$sh_pid}
+  log=$(ls -t runs/*.log 2>/dev/null | grep -v runqueue | head -1)
+  [ -z "$log" ] && continue
+  grep -q "\[Epoch" "$log" || continue
+  age=$(( $(date +%s) - $(stat -c %Y "$log") ))
+  if [ "$age" -ge "$STALE_S" ]; then
+    echo "[watchdog] $(date -u +%H:%M:%S) log '$log' stale ${age}s past" \
+         "first epoch; killing job pid $py_pid" >> runs/watchdog.log
+    kill "$py_pid" 2>/dev/null
+    sleep 30
+    kill -9 "$py_pid" 2>/dev/null
+  fi
+done
