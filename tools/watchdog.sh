@@ -21,7 +21,7 @@ while kill -0 "$RQ_PID" 2>/dev/null; do
   [ -z "${sh_pid:-}" ] && continue
   py_pid=$(pgrep -P "$sh_pid" | head -1)           # python (if bash forked)
   py_pid=${py_pid:-$sh_pid}
-  log=$(ls -t runs/*.log 2>/dev/null | grep -v runqueue | head -1)
+  log=$(ls -t runs/*.log 2>/dev/null | grep -v -e runqueue -e watchdog | head -1)
   [ -z "$log" ] && continue
   grep -q "\[Epoch" "$log" || continue
   age=$(( $(date +%s) - $(stat -c %Y "$log") ))
