@@ -71,3 +71,30 @@ def test_cli_train_and_checkpoint_eval(tmp_path, monkeypatch):
         "--set", f"train.pretrain_path={ckpts[0]}",
         "--set", "test.batch_size=16",
     ])
+
+
+def test_cli_tune_mode(tmp_path, monkeypatch):
+    """main() dispatches tune.enable to grid_search and the grid artifact is
+    written (reference main.py:30-46 tune mode); list-valued --set overrides
+    parse via YAML."""
+    from sslrec_tpu import main as cli
+
+    data_root = tmp_path / "datasets"
+    _write_tiny_cf(str(data_root))
+    monkeypatch.chdir(tmp_path)
+
+    cli.main([
+        "--model", "lightgcn", "--dataset", "tiny",
+        "--data_dir", str(data_root),
+        "--set", "tune.enable=true",
+        "--set", "tune.hyperparameters=[layer_num]",
+        "--set", "tune.layer_num=[1, 2]",
+        "--set", "train.epoch=2",
+        "--set", "train.batch_size=32",
+        "--set", "model.embedding_size=8",
+        "--set", "test.batch_size=16",
+    ])
+
+    art = json.loads((tmp_path / "results" / "lightgcn_tiny_tune.json").read_text())
+    assert len(art["trials"]) == 2
+    assert art["best"]["assignment"]["layer_num"] in (1, 2)
