@@ -434,6 +434,20 @@ def _cml_cfg(beta):
     })
 
 
+def test_smbrec_learns():
+    """SMBRec (behavior-graph propagation + similarity-sampled user-pair CL)
+    lifts held-out recall on the planted parity structure — the aux 'view'
+    behavior carries the true signal."""
+    cfg = load_config("smbrec", overrides={
+        "train.epoch": 60, "train.batch_size": 128, "train.test_step": 60,
+        "train.patience": 0, "test.batch_size": 16, "test.k": [5, 10],
+        "model.embedding_size": 16, "optimizer.lr": 5.0e-3,
+    })
+    data = _mb_bundle(cfg)
+    before, after = _train_recall(cfg, data)
+    assert after > before + 0.04, (before, after)
+
+
 def test_cml_learns_and_ssl_helps():
     cfg = _cml_cfg(0.02)
     data = _mb_bundle(cfg)
