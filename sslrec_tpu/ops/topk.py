@@ -32,10 +32,13 @@ def topk_indices(scores: jnp.ndarray, k: int, block: int = 0) -> jnp.ndarray:
     (2.25x).  Round 3's "~3x faster on [512, 57k]" micro-bench (66afef8) did
     not survive in-context re-measurement — kept opt-in for experimentation.
 
-    NaN caveat (blocked path only): padding uses the dtype's finite min, so a
-    row whose every in-block value is NaN would rank its padding above the
-    NaNs, unlike plain ``lax.top_k``.  Scores here are finite by construction
-    (history masking writes -1e8, not -inf/NaN).
+    Padding never leaks (blocked path): padded candidate slots (global index
+    >= n) are forced to -inf (floats) / iinfo.min (ints) before the merge, and
+    ties resolve to the earlier candidate position — so rows containing real
+    -inf still rank every real column above padding (advisor r4 finding).
+    NaN caveat remains: a row whose every value is NaN ranks arbitrarily
+    (scores in this framework are finite by construction — history masking
+    writes -1e8, not -inf/NaN).
     """
     n = scores.shape[-1]
     # env override read at trace time (unset → default argument)
@@ -56,8 +59,14 @@ def topk_indices(scores: jnp.ndarray, k: int, block: int = 0) -> jnp.ndarray:
                 constant_values=lowest)
     v, i = lax.top_k(s.reshape(*lead, nb, block), k)
     gi = i + (jnp.arange(nb, dtype=jnp.int32) * block)[:, None]
-    _, p = lax.top_k(v.reshape(*lead, nb * k), k)
-    return jnp.take_along_axis(gi.reshape(*lead, nb * k), p, axis=-1)
+    v, gi = v.reshape(*lead, nb * k), gi.reshape(*lead, nb * k)
+    if jnp.issubdtype(scores.dtype, jnp.floating):
+        sentinel = jnp.array(-jnp.inf, scores.dtype)
+    else:
+        sentinel = jnp.array(lowest, scores.dtype)
+    v = jnp.where(gi < n, v, sentinel)
+    _, p = lax.top_k(v, k)
+    return jnp.take_along_axis(gi, p, axis=-1)
 
 
 def masked_topk_indices(scores: jnp.ndarray, mask_cols: jnp.ndarray,

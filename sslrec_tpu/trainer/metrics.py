@@ -89,21 +89,37 @@ class Evaluator:
         # Evaluator construction); each batch then does a row gather + bitwise
         # expand (pure VPU).  Gated by table size (test.mask_bits_mb) — huge
         # user x item spaces (e.g. ijcai_15) keep the scatter path.
-        hist, bits = eval_data.history, None
+        hist, bits, bits_lut = eval_data.history, None, None
         self._n_items = int(getattr(model, "item_num", 0) or 0)
         if hist is not None and self._n_items:
             # +1: sequential models use 1-based item ids (0 = padding token),
             # so history columns run up to item_num inclusive
             nw = -(-(self._n_items + 1) // 32)
-            budget = float(cfg.test.get("mask_bits_mb", 768)) * 2**20
-            if hist.cols.shape[0] * nw * 4 <= budget:
+            budget = float(cfg.test.get("mask_bits_mb", 1536)) * 2**20
+            # r5 (VERDICT r4 #6): the table only ever serves rows for TEST
+            # users, so when the all-users table exceeds the budget, compact
+            # to unique test users + an id→row LUT.  ijcai_15 (423k users ×
+            # 874k items): full table ~46 GB → compact ~0.8 GB over its
+            # 7,299 test users, restoring the fast bitmask path that was
+            # previously budget-gated back to the 23ns/update scatter.
+            sel = None
+            if hist.cols.shape[0] * nw * 4 > budget:
+                uniq = np.unique(users)
+                if uniq.size * nw * 4 <= budget:
+                    sel = jnp.asarray(uniq.astype(np.int32))
+                    lut = np.zeros(hist.cols.shape[0], np.int32)
+                    lut[uniq] = np.arange(uniq.size, dtype=np.int32)
+                    bits_lut = jnp.asarray(lut)
+            if sel is not None or hist.cols.shape[0] * nw * 4 <= budget:
+                cols = hist.cols if sel is None else hist.cols[sel]
+                mask = hist.mask if sel is None else hist.mask[sel]
                 rows_idx = jnp.broadcast_to(
-                    jnp.arange(hist.cols.shape[0], dtype=jnp.int32)[:, None],
-                    hist.cols.shape)
-                word = (hist.cols // 32).astype(jnp.int32)
-                bit = jnp.uint32(1) << (hist.cols % 32).astype(jnp.uint32)
-                upd = jnp.where(hist.mask, bit, jnp.uint32(0))
-                bits = jnp.zeros((hist.cols.shape[0], nw), jnp.uint32
+                    jnp.arange(cols.shape[0], dtype=jnp.int32)[:, None],
+                    cols.shape)
+                word = (cols // 32).astype(jnp.int32)
+                bit = jnp.uint32(1) << (cols % 32).astype(jnp.uint32)
+                upd = jnp.where(mask, bit, jnp.uint32(0))
+                bits = jnp.zeros((cols.shape[0], nw), jnp.uint32
                                  ).at[rows_idx, word].add(upd)
                 hist = None  # the padded rows are no longer read in eval
         # the eval structures are jit ARGUMENTS (a pytree), not closure
@@ -111,14 +127,14 @@ class Evaluator:
         # and [n_users, width] history/gt rows at alibaba-fashion scale
         # (114,737 users) overflow the remote-compile request transport
         self._data = (user_batches, valid, eval_data.ground_truth,
-                      hist, bits)
+                      hist, bits, bits_lut)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             shard = NamedSharding(mesh, P(None, "data"))
             user_batches = jax.device_put(user_batches, shard)
             valid = jax.device_put(valid, shard)
             self._data = (user_batches, valid, eval_data.ground_truth,
-                          hist, bits)
+                          hist, bits, bits_lut)
             rep = NamedSharding(mesh, P())
             self._eval_jit = jax.jit(self._eval_core, out_shardings=rep)
         else:
@@ -126,7 +142,7 @@ class Evaluator:
 
     def _eval_core(self, params, data):
         model = self.model
-        user_batches, valid_rows, gt, hist, bits = data
+        user_batches, valid_rows, gt, hist, bits, bits_lut = data
         user_emb, item_emb = model.generate(params)
         kmax = max(self.ks)
         n_items = self._n_items
@@ -135,7 +151,8 @@ class Evaluator:
             users, valid = inp
             scores = model.rating(user_emb[users], item_emb)
             if bits is not None:
-                bw = bits[users]                              # [B, n_items/32]
+                rows = users if bits_lut is None else bits_lut[users]
+                bw = bits[rows]                               # [B, n_items/32]
                 shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
                 m = ((bw[:, :, None] >> shifts) & jnp.uint32(1)).astype(bool)
                 # scores may be wider than item_num (sequential models score
