@@ -78,6 +78,17 @@ class DiffKG(RecModel):
         self.adj_vals = data.extras["bi_adj_maskable"].view_vals(
             jnp.ones((data.extras["bi_adj_maskable"].nnz_rect,), jnp.float32))
 
+        # Under train.mesh with a model axis, the fixed-weight UI propagation
+        # runs graph-partitioned (destination-owned edge shards, r4 KGCL
+        # pattern) instead of leaving replicated edge arrays to GSPMD.
+        from sslrec_tpu.parallel.dist_train import (maybe_partition_bi,
+                                                    view_vals_partitioned)
+        bi = data.extras["bi_adj_maskable"]
+        self._mesh, self._sg = maybe_partition_bi(
+            cfg, bi._rows, bi._cols, self.user_num, self.item_num)
+        if self._sg is not None:
+            self._adj_vals_part = view_vals_partitioned(self._sg, self.adj_vals)
+
         # (h, t) → relation map, h-major sorted for bounded binary search
         trip = data.extras["kg_triplets_full"]
         order = np.lexsort((trip[:, 2], trip[:, 0]))
@@ -166,6 +177,12 @@ class DiffKG(RecModel):
         else:
             h, t, r, v = kg
         hids = self._rgat(params, key, h, t, r, v, training)
+        if self._sg is not None:
+            from sslrec_tpu.parallel.dist_train import mesh_partitioned_propagate
+            return mesh_partitioned_propagate(
+                self._mesh, self._sg, params["u_embeds"],
+                hids[: self.item_num], self._adj_vals_part, self.layer_num,
+                combine="sum")
         embeds = jnp.concatenate([params["u_embeds"], hids[: self.item_num]], 0)
         acc = embeds
         for _ in range(self.layer_num):

@@ -9,6 +9,12 @@ mutual-information per ``_cul_cor`` ``:105-158``); BPR as mean −logσ with
 ½L2/B regulariser.  Node dropout = static-shape edge masks (masked segment
 mean) + value dropout on the interact matrix; evaluation runs deterministic
 (the reference leaves torch dropout active at eval — a quirk, not replicated).
+
+No ``hparams()`` hook (tuner note, r5): the shipped tune grid is ENTIRELY
+structural -- ``layer_num`` is ``context_hops``, the aggregation-hop loop
+count (reference ``kgin.py:202,223``; the Python hop loop here).  Each trial
+is a different compiled program, so the tuner's serial structural-group
+fallback is the only correct execution; no traced lane exists to vmap.
 """
 
 from __future__ import annotations
@@ -69,6 +75,17 @@ class KGIN(RecModel):
         self.seg_iu = SegmentOps(self.im_rows, self.user_num)
         self.seg_ic = SegmentOps(self.im_cols, self.n_entities)
 
+        # Under train.mesh with a model axis, the user←entity interact hop
+        # runs graph-partitioned (r4 KGCL pattern): a [users; entities]-space
+        # edge list with only user-destination edges — the entity-side output
+        # of the hop is discarded; per-step (node-dropped) im_vals ride the
+        # partitioned layout via src_idx.
+        from sslrec_tpu.parallel.dist_train import maybe_partition_bi
+        self._mesh, self._sg_iu = maybe_partition_bi(
+            cfg, norm.row[order].astype(np.int64),
+            self.user_num + norm.col[order].astype(np.int64),
+            self.user_num, self.n_entities)
+
     def init_params(self, key):
         ks = jax.random.split(key, 4)
         d = self.embedding_size
@@ -93,8 +110,16 @@ class KGIN(RecModel):
         entity_agg = self.seg_h.sum(contrib) / jnp.maximum(cnt, 1.0)[:, None]
 
         score = jax.nn.softmax(user_emb @ params["latent_emb"].T, axis=1)  # [U, F]
-        user_agg = self.seg_iu.sum(self.seg_ic.take(entity_emb)
-                                   * im_vals[:, None])
+        if self._sg_iu is not None:
+            from sslrec_tpu.parallel.dist_train import (
+                mesh_partitioned_propagate, view_vals_partitioned)
+            pv = view_vals_partitioned(self._sg_iu, im_vals)
+            user_agg, _ = mesh_partitioned_propagate(
+                self._mesh, self._sg_iu, jnp.zeros_like(user_emb), entity_emb,
+                pv, 1, combine="last")
+        else:
+            user_agg = self.seg_iu.sum(self.seg_ic.take(entity_emb)
+                                       * im_vals[:, None])
         disen_w = jax.nn.softmax(params["disen_weight_att"], axis=-1) \
             @ params["weight"]                                 # [F, d]
         mod = score @ disen_w                                  # [U, d]

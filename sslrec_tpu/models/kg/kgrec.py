@@ -18,6 +18,12 @@ lists (softmax logits −∞-masked; degree counts from live masks); without-
 replacement multinomial uses the Gumbel-top-k equivalence; the MAE mask is the
 concatenation of the top-k and random index sets (the reference's boolean
 union deduplicates — overlapping picks here just double-weight a few edges).
+
+No ``hparams()`` hook (tuner note, r5): the shipped tune grid is ENTIRELY
+structural -- ``layer_num`` is ``context_hops``, the GNN hop loop count
+(reference ``kgrec.py:332,358``; the Python hop loop here).  Each trial is
+a different compiled program, so the tuner's serial structural-group
+fallback is the only correct execution; no traced lane exists to vmap.
 """
 
 from __future__ import annotations
@@ -79,6 +85,19 @@ class KGRec(RecModel):
         self.seg_ieu = SegmentOps(self.ie_u, self.user_num)
         self.seg_iei = SegmentOps(self.ie_i, self.item_num)
         self.seg_ie_ent = SegmentOps(self.ie_i, self.n_entities)
+
+        # Under train.mesh with a model axis, the UI tower runs
+        # graph-partitioned (r4 KGCL pattern): a bidirectional [users; items]
+        # edge list whose per-step rationale weights ``ui_w`` ride the
+        # partitioned layout as concat([ui_w, ui_w]) via src_idx.
+        from sslrec_tpu.parallel.dist_train import maybe_partition_bi
+        ie_u_np = ui.row[order].astype(np.int64)
+        ie_i_np = ui.col[order].astype(np.int64)
+        self._mesh, self._sg_ui = maybe_partition_bi(
+            cfg,
+            np.concatenate([ie_u_np, self.user_num + ie_i_np]),
+            np.concatenate([self.user_num + ie_i_np, ie_u_np]),
+            self.user_num, self.item_num)
 
     def init_params(self, key):
         ks = jax.random.split(key, 7)
@@ -154,6 +173,18 @@ class KGRec(RecModel):
         user_emb = params["all_embed"][: self.user_num]
         item_emb = params["all_embed"][self.user_num: self.user_num + self.item_num]
         item_res = item_emb
+        if self._sg_ui is not None:
+            from sslrec_tpu.parallel.dist_train import (
+                mesh_partitioned_propagate, view_vals_partitioned)
+            pv = view_vals_partitioned(self._sg_ui,
+                                       jnp.concatenate([ui_w, ui_w]))
+            for _ in range(self.context_hops):
+                u_agg, i_agg = mesh_partitioned_propagate(
+                    self._mesh, self._sg_ui, user_emb, item_emb, pv, 1,
+                    combine="last")
+                user_emb, item_emb = _l2rows(u_agg), _l2rows(i_agg)
+                item_res = item_res + item_emb
+            return item_res
         for _ in range(self.context_hops):
             u_agg = self.seg_ieu.sum(ui_w[:, None] * self.seg_iei.take(item_emb))
             i_agg = self.seg_iei.sum(ui_w[:, None] * self.seg_ieu.take(user_emb))

@@ -118,6 +118,34 @@ class CML(RecModel):
             self._beh_items.append(jnp.asarray(
                 np.unique(coo.tocoo().col).astype(np.int32)))
 
+        # Under train.mesh with a model axis, each behavior's (A, AT) rect
+        # propagation pair runs as ONE graph-partitioned bidirectional hop
+        # per layer (r4 KGCL pattern; destination-owned edge shards): the
+        # u-destination half carries A's normalised values, the i-destination
+        # half AT's — both static, so they live in ``sg.vals``.
+        self._mesh, self._sg_beh = None, None
+        from sslrec_tpu.data.multi_behavior import normalize_rect
+        from sslrec_tpu.parallel.dist_train import maybe_partition_bi
+        sgs = []
+        mesh = None
+        for coo in data.extras["behavior_mats_scipy"]:
+            binm = (coo != 0) * 1.0
+            a = normalize_rect(binm).tocoo()
+            at = normalize_rect(binm.T).tocoo()
+            rows = np.concatenate([a.row.astype(np.int64),
+                                   self.user_num + at.row.astype(np.int64)])
+            cols = np.concatenate([self.user_num + a.col.astype(np.int64),
+                                   at.col.astype(np.int64)])
+            vals = np.concatenate([a.data, at.data]).astype(np.float32)
+            mesh, sg = maybe_partition_bi(cfg, rows, cols, self.user_num,
+                                          self.item_num, vals=vals)
+            if sg is None:
+                sgs = None
+                break
+            sgs.append(sg)
+        if sgs:
+            self._mesh, self._sg_beh = mesh, sgs
+
     # -- parameters ----------------------------------------------------------
     def init_params(self, key):
         d = self.hidden
@@ -153,8 +181,17 @@ class CML(RecModel):
         u, i = g["user_emb"], g["item_emb"]
         cat_u, cat_i, cat_us, cat_is = [], [], [], []
         for l in range(self.gnn_layer):
-            us = [spmm(a, i) for a, _ in self.graphs]
-            is_ = [spmm(at, u) for _, at in self.graphs]
+            if self._sg_beh is not None:
+                from sslrec_tpu.parallel.dist_train import \
+                    mesh_partitioned_propagate
+                hops = [mesh_partitioned_propagate(self._mesh, sg, u, i,
+                                                   sg.vals, 1, combine="last")
+                        for sg in self._sg_beh]
+                us = [h[0] for h in hops]
+                is_ = [h[1] for h in hops]
+            else:
+                us = [spmm(a, i) for a, _ in self.graphs]
+                is_ = [spmm(at, u) for _, at in self.graphs]
             u = jax.nn.sigmoid(sum(us) / self.n_beh @ g["u_w"][l])
             i = jax.nn.sigmoid(sum(is_) / self.n_beh @ g["i_w"][l])
             cat_u.append(u)

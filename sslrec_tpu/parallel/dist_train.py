@@ -145,15 +145,23 @@ def partitioned_propagate(sg: ShardedGraph, u_local, i_local, e_rows, e_cols,
                           axis: str = MODEL_AXIS):
     """LightGCN-style multi-hop propagation from shard-local tables.
 
-    ``combine``: 'sum' (x0 + Σ hops, LightGCN) or 'mean' (layer mean, the
-    KGCL/NCL convention).  Returns (user_local, item_local)."""
+    ``combine``: 'sum' (x0 + Σ hops, LightGCN), 'mean' (layer mean, the
+    KGCL/NCL convention) or 'last' (the final hop only — with ``layer_num=1``
+    this is a plain one-hop ``A @ x``, the building block for towers that
+    apply a nonlinearity between hops, e.g. KGRec's l2-normalised UI tower or
+    CML's per-behavior sigmoid stacks).  Returns (user_local, item_local)."""
     u_loc, i_loc = sg.u_loc, sg.i_loc
     x = jnp.concatenate([u_local, i_local], axis=0)       # [U_loc+I_loc, d]
     acc = [x]
     for _ in range(layer_num):
         x = partitioned_spmm(u_loc, i_loc, x, e_rows, e_cols, e_vals, axis)
         acc.append(x)
-    out = sum(acc) if combine == "sum" else sum(acc) / len(acc)
+    if combine == "sum":
+        out = sum(acc)
+    elif combine == "mean":
+        out = sum(acc) / len(acc)
+    else:  # 'last'
+        out = x
     return out[:u_loc], out[u_loc:]
 
 
@@ -194,6 +202,33 @@ def mesh_partitioned_propagate(mesh, sg: ShardedGraph, u_x: jnp.ndarray,
                     out_specs=(specs, specs), check_rep=False)(
         u, i, sg.local_rows, sg.cols, vals_part)
     return out[0][:n_u], out[1][:n_i]
+
+
+def maybe_partition_bi(cfg, rows, cols, n_users: int, n_items: int,
+                       vals=None):
+    """Model-init helper for the KGCL deployment pattern (r4): under a
+    config-driven mesh whose ``model`` axis is > 1, partition a bidirectional
+    ``[users; items]``-indexed edge list by destination owner and return
+    ``(mesh, ShardedGraph)``; otherwise ``(mesh, None)`` and the model keeps
+    its replicated-edge single-device path.
+
+    ``rows``/``cols`` index nodes as [users; items] 0..U+I.  ``vals`` default
+    to ones — per-view/per-step values ride :func:`view_vals_partitioned`
+    through ``src_idx`` either way; pass static normalised values here when
+    the model propagates with fixed weights (e.g. DiffKG's adj_vals).
+    """
+    from sslrec_tpu.parallel.mesh import MODEL_AXIS, mesh_from_config
+    mesh = mesh_from_config(cfg)
+    if mesh is None or mesh.shape.get(MODEL_AXIS, 1) <= 1:
+        return mesh, None
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    vals = (np.ones(rows.shape[0], np.float32) if vals is None
+            else np.asarray(vals, np.float32))
+    g = CooGraph(rows=rows, cols=cols, vals=vals,
+                 n_rows=n_users + n_items, n_cols=n_users + n_items)
+    return mesh, partition_graph(g, n_users, n_items,
+                                 int(mesh.shape[MODEL_AXIS]))
 
 
 def build_sharded_lightgcn_step(mesh, sg: ShardedGraph, layer_num: int,
