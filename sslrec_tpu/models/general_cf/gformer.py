@@ -219,7 +219,16 @@ class GFormer(RecModel):
             return jnp.mean(jax.nn.logsumexp(e1[nodes] @ e2.T, axis=-1))
         return jnp.mean(jax.nn.logsumexp(e1[nodes] @ e1.T, axis=-1))
 
+    def hparams(self):
+        """Traced tune-grid scalars (reference ``gformer.yml`` tune block:
+        reg_weight, ssl_reg; layer_num stays a structural serial group)."""
+        return {"reg_weight": jnp.float32(self.reg_weight),
+                "ssl_reg": jnp.float32(self.ssl_reg)}
+
     def loss(self, params, batch, key):
+        hp = batch.get("hp", {})
+        reg_weight = hp.get("reg_weight", self.reg_weight)
+        ssl_reg = hp.get("ssl_reg", self.ssl_reg)
         view = jax.tree.map(lambda x: x[batch["step"] // self.fix_steps],
                             batch["aux"])
         ancs, poss, negs = batch["user"], batch["pos"], batch["neg"]
@@ -228,11 +237,11 @@ class GFormer(RecModel):
         su, si = s_all[: self.user_num], s_all[self.user_num:]
         diff = jnp.sum(su[ancs] * si[poss], -1) - jnp.sum(su[ancs] * i_emb[negs], -1)
         bpr2 = -jnp.sum(jnp.log(jax.nn.sigmoid(diff) + 1e-12)) / self.batch_train
-        reg = self.reg_weight * losses.reg_params(params)
+        reg = reg_weight * losses.reg_params(params)
         nce = jnp.mean(jnp.log(jnp.sum(jnp.exp(s_all[ancs] * c_all[ancs]), -1)
                                + 1e-12))
         cl = (self._contrast(ancs, u_emb) + self._contrast(poss, i_emb)) \
-            * self.ssl_reg + self._contrast(ancs, u_emb, i_emb) + self.ctra * nce
+            * ssl_reg + self._contrast(ancs, u_emb, i_emb) + self.ctra * nce
         loss = bpr + reg + cl + self.b2 * bpr2
         return loss, {"bpr_loss": bpr, "reg_loss": reg, "cl_loss": cl}
 

@@ -21,6 +21,12 @@ normalised values are recomputed on device from the rect-edge mask
 (``MaskableBiAdj``); node dropout on the UI graph is a value mask with
 1/(1−rate) rescale.  The whole epoch-level view generation is a single jitted
 function (``epoch_state``), not a host rebuild.
+
+No ``hparams()`` hook (tuner note, r5): the shipped tune grid is ENTIRELY
+structural -- ``layer_num`` sizes the UI propagation loop (reference
+``kgcl.py:103,295``; the Python hop loop here).  Each trial is a different
+compiled program, so the tuner's serial structural-group fallback is the
+only correct execution; no traced lane exists to vmap.
 """
 
 from __future__ import annotations

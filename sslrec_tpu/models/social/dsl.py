@@ -7,6 +7,13 @@ neg-user) triples; the self-augmented term hinges sigmoid-labelled UI-space
 similarity against social-space dot products for random user pairs.  The
 reference's special trainer only adds grad-clip 10 (``trainer/trainer.py:451-489``)
 — expressed here via the model's ``grad_clip`` attribute.
+
+No ``hparams()`` hook (tuner note, r5): the shipped tune grid is ENTIRELY
+structural — ``gnn_layer``/``uugnn_layer`` size the two towers'
+``nn.Sequential`` stacks in the reference (``dsl.py:102,126``), i.e. the
+Python loop counts here.  Every trial is a different compiled program, so the
+tuner's serial structural-group fallback is the only correct execution; there
+is no traced lane to vmap.
 """
 
 from __future__ import annotations
