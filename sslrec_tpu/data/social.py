@@ -8,9 +8,15 @@ adjacency + symmetric-normalised trust graph (``:352-361``) and paired
 CF+social sampling (``datasets_social.py:52-91``).
 
 The heavy sparse algebra stays host-side scipy (computed once at load); device
-artifacts are CooGraph/PallasGraph layouts.  Note: this reference snapshot ships
-only partial social data files — real-data runs require complete pickles; all
-logic is exercised by synthetic-data tests.
+artifacts are CooGraph/PallasGraph layouts.
+
+Data provenance: the snapshot's yelp social pickles are partial (no trust
+matrix), so real-data runs use the derived split — real 43,043×66,576 trn/tst
+interactions and real ``category.pkl`` from the snapshot, plus a documented
+synthetic top-k co-interaction trust graph built by ``tools/make_social.py``
+(provenance JSON committed beside the pickles).  All 5 social models have
+real-data evidence rows on that split (BASELINE.md rounds 3-5); tiny synthetic
+graphs are additionally used by unit tests.
 """
 
 from __future__ import annotations
@@ -96,17 +102,28 @@ def _sampled_cooc(mat, rate, rng):
     m = mat.tocsr().astype(np.float32)
     mt = m.T.tocsr()
     n = m.shape[0]
-    probe_n = min(64, n)
-    probe = (m[:probe_n] @ mt).tocsr()
-    avg = max(probe.nnz / max(probe_n, 1), 1.0)
-    chunk = int(max(64, min(n, 3e7 / avg)))
+    # Chunk boundaries from EXACT per-row multiply counts (advisor r4: the
+    # old 64-row density probe underestimates power-law tails — a sparse head
+    # let a later chunk's product materialise near-unbounded nnz).  Row i of
+    # m @ mt generates sum_{j in cols(i)} rowdeg_mt(j) multiplies, an upper
+    # bound on its output nnz and exactly scipy's per-row work.
+    mt_deg = np.diff(mt.indptr).astype(np.float64)
+    mb = m.copy()
+    mb.data = np.ones_like(mb.data)
+    contrib = np.asarray(mb @ mt_deg).reshape(-1)
+    cum = np.concatenate([[0.0], np.cumsum(np.maximum(contrib, 1.0))])
+    budget = 3e7
     rows_out, cols_out = [], []
-    for s in range(0, n, chunk):
-        cooc = (m[s:s + chunk] @ mt).tocsr()
+    s = 0
+    while s < n:
+        e = int(np.searchsorted(cum, cum[s] + budget, side="right")) - 1
+        e = max(e, s + 1)
+        cooc = (m[s:e] @ mt).tocsr()
         r, c = native.sampled_cooc_edges(cooc.indptr, cooc.indices, rate,
                                          seed=int(rng.integers(1 << 31)))
         rows_out.append(np.asarray(r, np.int64) + s)
         cols_out.append(np.asarray(c, np.int64))
+        s = e
     r = np.concatenate(rows_out) if rows_out else np.zeros(0, np.int64)
     c = np.concatenate(cols_out) if cols_out else np.zeros(0, np.int64)
     out = sp.coo_matrix((np.ones(len(r), np.float32), (r, c)),
@@ -237,8 +254,15 @@ def build_kcgn_structs(cfg, trn_rated, trn_time, trust_mat, category_mat):
     # (rate 1.0 retains every co-member), which is what the torch parity
     # test pins against.
     rng = np.random.default_rng(int(cfg.train.get("seed", 0)))
-    ii_rate = 0.002 if cat.shape[0] > 500 else 1.0
+    # Rate and gate are configurable (advisor r4: the hard 500-row gate gave
+    # mid-size datasets silently different graph density than the reference's
+    # per-category ladder); the resulting density is printed per run so the
+    # deviation is visible in the log.
+    ii_rate = float(cfg.model.get("ii_sample_rate",
+                                  0.002 if cat.shape[0] > 500 else 1.0))
     ii = _sampled_cooc(cat, ii_rate, rng)
+    print(f"[data/social] KCGN item-item graph: rate={ii_rate} "
+          f"nnz={int(ii.nnz)} (exact cat@cat.T when rate=1.0)")
 
     def dgi_graph(m):
         deg = np.asarray(m.sum(1)).reshape(-1)
