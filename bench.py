@@ -330,31 +330,19 @@ def bench_spmm(budget_s=None, t_start=None):
     modes: exact f32 (3-way mantissa split) and default (bf16 gather +
     1-pass MXU)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from tools.bench_spmm import run_bench
+    from tools.bench_spmm import run_interleaved
 
-    prev = os.environ.get("SSLREC_PALLAS_PRECISION")
-    try:
-        res = run_bench(iters=16, precision="highest")
-        out = {"fwd_ms": res["fwd_ms"], "fwdgrad_ms": res["fwdgrad_ms"],
-               "xla_fwd_ms": res["xla_fwd_ms"],
-               "xla_fwdgrad_ms": res["xla_fwdgrad_ms"],
-               "hbm_gbps": res["fwd_GBps"],
-               "rel_err_vs_xla": res["rel_err_vs_xla"]}
-        if budget_s is None or t_start is None or \
-                (time.time() - t_start) < 0.55 * budget_s:
-            fast = run_bench(iters=16, precision="default")
-            out.update({"default_fwd_ms": fast["fwd_ms"],
-                        "default_fwdgrad_ms": fast["fwdgrad_ms"],
-                        "default_hbm_gbps": fast["fwd_GBps"],
-                        "default_rel_err_vs_xla": fast["rel_err_vs_xla"]})
-    finally:
-        if prev is None:
-            os.environ.pop("SSLREC_PALLAS_PRECISION", None)
-        else:
-            os.environ["SSLREC_PALLAS_PRECISION"] = prev
-        from sslrec_tpu.ops import pallas_spmm as ps
-        ps._mxu_precision.cache_clear()
-    return out
+    # Round-5 (VERDICT r4 #1): interleaved A/B trials — Pallas and XLA cycled
+    # within each trial over distinct inputs, median + IQR reported — so
+    # platform drift between measurement blocks can no longer masquerade as a
+    # kernel margin (the BENCH_r04 7.63-vs-5.06 ambiguity).
+    res = run_interleaved(trials=9, iters=6)
+    return {k: res[k] for k in (
+        "pallas_fwd_ms", "pallas_fwd_iqr_ms", "pallas_grad_ms",
+        "pallas_grad_iqr_ms", "xla_fwd_ms", "xla_fwd_iqr_ms", "xla_grad_ms",
+        "xla_grad_iqr_ms", "default_fwd_ms", "default_grad_ms",
+        "combined_pallas_ms", "combined_xla_ms", "combined_default_ms",
+        "rel_err_vs_xla", "default_rel_err_vs_xla")}
 
 
 # deadline-ordered: the headline first, the cheap component benches next, and
