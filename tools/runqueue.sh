@@ -18,6 +18,13 @@ while true; do
   cmd=$(echo "$line" | cut -d' ' -f2-)
   tag=$(echo "$cmd" | tr -c 'a-zA-Z0-9_-' '_' | cut -c1-80)
   echo "[runqueue] job $n (timeout ${to}s): $cmd"
-  timeout "$to" bash -c "$cmd" > "runs/${n}_${tag}.log" 2>&1
-  echo "[runqueue] job $n exited with $?"
+  timeout "$to" bash -c "$cmd" > "runs/${n}_${tag}.log" 2>&1 &
+  jpid=$!
+  # Record the job pid + its log path so the watchdog never has to guess via
+  # pgrep hops / newest-log heuristics (advisor r4 finding).
+  echo "$jpid runs/${n}_${tag}.log" > runs/current_job
+  wait "$jpid"
+  rc=$?
+  rm -f runs/current_job
+  echo "[runqueue] job $n exited with $rc"
 done

@@ -15,13 +15,16 @@ STALE_S=${2:-1200}
 cd /root/repo
 while kill -0 "$RQ_PID" 2>/dev/null; do
   sleep 60
-  to_pid=$(pgrep -P "$RQ_PID" | head -1)           # timeout
-  [ -z "${to_pid:-}" ] && continue
-  sh_pid=$(pgrep -P "$to_pid" | head -1)           # bash -c (or python)
-  [ -z "${sh_pid:-}" ] && continue
-  py_pid=$(pgrep -P "$sh_pid" | head -1)           # python (if bash forked)
-  py_pid=${py_pid:-$sh_pid}
-  log=$(ls -t runs/*.log 2>/dev/null | grep -v -e runqueue -e watchdog | head -1)
+  # The runqueue records "<timeout_pid> <log_path>" for the CURRENT job in
+  # runs/current_job (advisor r4 finding: pgrep/newest-log heuristics could
+  # kill a healthy run).  Staleness is keyed on that exact log; the victim is
+  # the deepest first-child descendant of that exact pid (timeout → bash →
+  # python), never a pattern match.
+  [ -f runs/current_job ] || continue
+  read -r to_pid log < runs/current_job || continue
+  [ -n "${to_pid:-}" ] && kill -0 "$to_pid" 2>/dev/null || continue
+  py_pid=$to_pid
+  while c=$(pgrep -P "$py_pid" | head -1); [ -n "${c:-}" ]; do py_pid=$c; done
   [ -z "$log" ] && continue
   grep -q "\[Epoch" "$log" || continue
   age=$(( $(date +%s) - $(stat -c %Y "$log") ))
