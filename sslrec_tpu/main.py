@@ -24,7 +24,15 @@ from sslrec_tpu.utils import checkpoint as ckpt
 
 
 def main(argv=None):
+    import os
+
     cfg = parse_cli(argv)
+    # wedge forensics (utils/dispatch_trace): CLI runs always trace their
+    # python-level device calls so a watchdog-killed process leaves an
+    # attribution (the last BEGIN without END names the wedged call)
+    if "SSLREC_TRACE_FILE" not in os.environ:
+        os.environ["SSLREC_TRACE_FILE"] = \
+            f"runs/dispatch_trace_{os.getpid()}.log"
     if "results_dir" not in cfg.train:
         # CLI runs always write a committed evidence artifact (results/*.json:
         # config + seed + trajectory + final metrics); library/test use stays

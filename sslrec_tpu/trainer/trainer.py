@@ -29,6 +29,7 @@ from sslrec_tpu.data.sampling import sample_negatives
 from sslrec_tpu.trainer.logger import Logger, log_exceptions
 from sslrec_tpu.trainer.metrics import Evaluator
 from sslrec_tpu.utils import checkpoint as ckpt
+from sslrec_tpu.utils import dispatch_trace as trace
 
 
 def build_optimizer(cfg) -> optax.GradientTransformation:
@@ -58,6 +59,10 @@ class Trainer:
     def __init__(self, cfg, model, data: DataBundle, logger: Logger | None = None):
         self.cfg = cfg
         self.model = model
+        # wedge-forensics bookkeeping (utils/dispatch_trace; no-op unless
+        # SSLREC_TRACE_FILE is set by the CLI entry)
+        self._trace_ep = "ep?"
+        self._trace_sync = bool(cfg.train.get("trace_sync", False))
         self.data = data
         self.logger = logger or Logger(cfg)
         # config-driven device mesh (train.mesh: {data: N, model: M}) — GSPMD
@@ -172,7 +177,16 @@ class Trainer:
                 mean_aux = jax.tree.map(jnp.mean, aux)
                 return params, opt_state, mean_aux
 
-            return jax.jit(epoch_fn, donate_argnums=(0, 1))
+            jitted = jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+            def traced_epoch(params, opt_state, key, aux_state, arrays, hparams):
+                trace.mark(f"{self._trace_ep}.whole_epoch", steps=n_batches,
+                           model=self.cfg.model.name)
+                out = jitted(params, opt_state, key, aux_state, arrays, hparams)
+                trace.done(f"{self._trace_ep}.whole_epoch")
+                return out
+
+            return traced_epoch
 
         # train.scan_chunk: bound the length of each device call by scanning at
         # most ``chunk`` steps per XLA program (the remote-execution transport
@@ -218,9 +232,14 @@ class Trainer:
             sums = None
             for s in range(0, n_batches + pad, chunk):
                 e = s + chunk
+                trace.mark(f"{self._trace_ep}.chunk{s // chunk}",
+                           steps=chunk, model=self.cfg.model.name)
                 params, opt_state, part = chunk_j(
                     params, opt_state, idx[s:e], keys[s:e], steps[s:e],
                     valid[s:e], sampled, aux_state, arrays, hparams)
+                if self._trace_sync:
+                    jax.block_until_ready(part)
+                trace.done(f"{self._trace_ep}.chunk{s // chunk}")
                 sums = part if sums is None else jax.tree.map(jnp.add, sums, part)
             mean_aux = jax.tree.map(lambda x: x / n_batches, sums)
             return params, opt_state, mean_aux
@@ -353,15 +372,20 @@ class Trainer:
         save_every = int(cfg.train.get("save_state_every", 0) or 0)
         for epoch in range(start_epoch, n_epochs):
             ekey = jax.random.fold_in(root_key, epoch)
+            self._trace_ep = f"ep{epoch}"
             params, opt_state, losses = self.train_epoch(params, opt_state, ekey, epoch)
+            trace.mark(f"ep{epoch}.losses_sync")
             losses_host = jax.device_get(losses)
+            trace.done(f"ep{epoch}.losses_sync")
             if cfg.train.get("log_loss", True):
                 self.logger.log_loss(epoch, losses_host)
             writer.add_scalar("Loss/train", float(losses_host["loss"]), epoch)
             epoch_valid = None
             if epoch % test_step == 0:
                 eval_t0 = time.time()
+                trace.mark(f"ep{epoch}.eval")
                 results = evaluator(params)
+                trace.done(f"ep{epoch}.eval")
                 epoch_valid = results
                 writer.add_scalar("HR/test", float(results[metric0][0]), epoch)
                 self.logger.log_eval(results, cfg.test.k, epoch=epoch,
@@ -383,10 +407,12 @@ class Trainer:
             # the exact bookkeeping the uninterrupted run had at this point
             if save_every and (epoch + 1) % save_every == 0:
                 path = self._ckpt_path() + ".state"
+                trace.mark(f"ep{epoch}.save_state", path=path)
                 ckpt.save(path, {"params": params, "opt_state": opt_state,
                                  "epoch": epoch, "best_params": best_params,
                                  "best_metric": float(best_metric),
                                  "wait": int(wait)})
+                trace.done(f"ep{epoch}.save_state")
                 self.logger.log(f"saved train state to {path}")
         else:
             # fixed-epoch run without early stop: when the final epoch is off

@@ -20,9 +20,10 @@ while true; do
   echo "[runqueue] job $n (timeout ${to}s): $cmd"
   timeout "$to" bash -c "$cmd" > "runs/${n}_${tag}.log" 2>&1 &
   jpid=$!
-  # Record the job pid + its log path so the watchdog never has to guess via
-  # pgrep hops / newest-log heuristics (advisor r4 finding).
-  echo "$jpid runs/${n}_${tag}.log" > runs/current_job
+  # Record the job pid + log path + timeout + command so the watchdog never
+  # guesses via pgrep/newest-log heuristics (advisor r4 finding) and can
+  # auto-requeue a killed job from its last saved train state (r5 forensics).
+  echo "$jpid runs/${n}_${tag}.log $to $cmd" > runs/current_job
   wait "$jpid"
   rc=$?
   rm -f runs/current_job

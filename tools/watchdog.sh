@@ -21,7 +21,7 @@ while kill -0 "$RQ_PID" 2>/dev/null; do
   # the deepest first-child descendant of that exact pid (timeout → bash →
   # python), never a pattern match.
   [ -f runs/current_job ] || continue
-  read -r to_pid log < runs/current_job || continue
+  read -r to_pid log to cmd < runs/current_job || continue
   [ -n "${to_pid:-}" ] && kill -0 "$to_pid" 2>/dev/null || continue
   py_pid=$to_pid
   while c=$(pgrep -P "$py_pid" | head -1); [ -n "${c:-}" ]; do py_pid=$c; done
@@ -31,8 +31,27 @@ while kill -0 "$RQ_PID" 2>/dev/null; do
   if [ "$age" -ge "$STALE_S" ]; then
     echo "[watchdog] $(date -u +%H:%M:%S) log '$log' stale ${age}s past" \
          "first epoch; killing job pid $py_pid" >> runs/watchdog.log
+    # r5 forensics: the dispatch trace's last BEGIN without a matching END
+    # names the wedged device call (utils/dispatch_trace.py)
+    tr="runs/dispatch_trace_${py_pid}.log"
+    if [ -f "$tr" ]; then
+      wedged=$(awk '$2=="BEGIN"{b=$0} $2=="END"{b=""} END{print b}' "$tr")
+      echo "[watchdog]   wedged call: ${wedged:-<no unmatched BEGIN>}" \
+           >> runs/watchdog.log
+    fi
     kill "$py_pid" 2>/dev/null
     sleep 30
     kill -9 "$py_pid" 2>/dev/null
+    # r5: auto-requeue from the last VALIDLY-saved train state (a save is
+    # valid only if its "saved train state" log line was written — a kill
+    # mid-save leaves a truncated msgpack, BASELINE transport-hazard note).
+    # --set is last-wins, so appending resume_path overrides any earlier one.
+    state=$(grep -o "saved train state to [^ ]*" "$log" | tail -1 \
+            | awk '{print $5}')
+    if [ -n "${state:-}" ] && [ -f "$state" ] && [ -n "${cmd:-}" ] \
+        && ! grep -qF "$state" tools/queue.txt 2>/dev/null; then
+      echo "$to $cmd --set train.resume_path=$state" >> tools/queue.txt
+      echo "[watchdog]   requeued from $state" >> runs/watchdog.log
+    fi
   fi
 done
