@@ -611,3 +611,20 @@ def test_mbgmn_learns_with_trainable_hinge():
     data = _mb_bundle(cfg)
     before, after = _train_recall(cfg, data)
     assert after > before + 0.04, (before, after)
+
+
+def test_directau_learns():
+    """DirectAU (alignment + uniformity only, no negatives — reference
+    ``models/general_cf/directau.py:10-59``) lifts held-out niche recall on
+    the popularity-skewed parity data: the uniformity term spreads the
+    popular block apart, recovering the community structure (measured:
+    0.117 → 0.177 at 100 epochs).  Second general_cf learning lane beside
+    SGL's contrastive one."""
+    cfg = load_config("directau", overrides={
+        "train.epoch": 100, "train.batch_size": 256, "train.test_step": 100,
+        "train.patience": 0, "test.batch_size": 32, "test.k": [5, 10],
+        "model.embedding_size": 16, "optimizer.lr": 1.0e-2,
+    })
+    data = _cf_bundle()
+    before, after = _train_recall(cfg, data)
+    assert after > before + 0.04, (before, after)
