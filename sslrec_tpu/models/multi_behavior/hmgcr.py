@@ -125,12 +125,25 @@ class GCNTower:
         }
 
     @staticmethod
-    def apply(p, a_graph, at_graph, layer_num):
+    def apply(p, a_graph, at_graph, layer_num, mesh_sgs=None):
         u, i = p["user_emb"], p["item_emb"]
         us, is_ = [], []
         for l in range(layer_num):
-            u_new = spmm(a_graph, i)
-            i_new = spmm(at_graph, u_new)
+            if mesh_sgs is not None:
+                # graph-partitioned chained pair under train.mesh (r5; the
+                # KGCL deployment pattern via maybe_partition_rect_pair)
+                from sslrec_tpu.parallel.dist_train import \
+                    mesh_partitioned_propagate
+                mesh, sg_a, sg_at = mesh_sgs
+                u_new, _ = mesh_partitioned_propagate(
+                    mesh, sg_a, jnp.zeros_like(u), i, sg_a.vals, 1,
+                    combine="last")
+                _, i_new = mesh_partitioned_propagate(
+                    mesh, sg_at, u_new, jnp.zeros_like(i), sg_at.vals, 1,
+                    combine="last")
+            else:
+                u_new = spmm(a_graph, i)
+                i_new = spmm(at_graph, u_new)
             u = jax.nn.sigmoid(u_new @ p["u_w"][l])
             i = jax.nn.sigmoid(i_new @ p["i_w"][l])
             us.append(u)
@@ -147,6 +160,20 @@ class HMGCR(RecModel):
         self.hidden_dim = int(m.get("hidden_dim", m.embedding_size))
         self.beta = float(m.beta_loss)
         self.tau = float(m.tau)
+        # Under train.mesh with a model axis, each metapath tower's chained
+        # (A, AT) rect pair runs graph-partitioned (r5, KGCL pattern).
+        from sslrec_tpu.parallel.dist_train import maybe_partition_rect_pair
+        self._mesh, self._sgs = None, None
+        sgs = []
+        for a, at in self.graphs:
+            mesh, pair = maybe_partition_rect_pair(cfg, a, at, self.user_num,
+                                                   self.item_num)
+            if pair is None:
+                sgs = None
+                break
+            self._mesh = mesh
+            sgs.append(pair)
+        self._sgs = sgs or None
 
     def init_params(self, key):
         ks = jax.random.split(key, len(self.graphs))
@@ -155,8 +182,10 @@ class HMGCR(RecModel):
                           self.layer_num) for k in ks]}
 
     def forward(self, params):
-        embeds = [GCNTower.apply(p, a, at, self.layer_num)
-                  for p, (a, at) in zip(params["towers"], self.graphs)]
+        ms = ([(self._mesh, sa, st) for sa, st in self._sgs]
+              if self._sgs is not None else [None] * len(self.graphs))
+        embeds = [GCNTower.apply(p, a, at, self.layer_num, mesh_sgs=m)
+                  for p, (a, at), m in zip(params["towers"], self.graphs, ms)]
         users = [u for u, _ in embeds]
         items = [i for _, i in embeds]
         return (sum(users) / len(users), sum(items) / len(items), users, items)

@@ -118,6 +118,33 @@ class KMCLR(RecModel):
         self.bi = MaskableBiAdj(buy, self.user_num, self.item_num)
         self.buy_edge_set = sparse_ops.build_edge_set(buy)
 
+        # Under train.mesh with a model axis (r5, KGCL pattern): the KG-view
+        # LightGCN over the buy bi-adjacency and the per-behavior (A, AT)
+        # simultaneous stacks both run graph-partitioned.
+        from sslrec_tpu.data.multi_behavior import normalize_rect
+        from sslrec_tpu.parallel.dist_train import maybe_partition_bi
+        self._mesh, self._sg_bi = maybe_partition_bi(
+            cfg, self.bi._rows, self.bi._cols, self.user_num, self.item_num)
+        self._sg_beh = None
+        sgs = []
+        for coo in data.extras["behavior_mats_scipy"]:
+            binm = (coo != 0) * 1.0
+            a = normalize_rect(binm).tocoo()
+            at = normalize_rect(binm.T).tocoo()
+            rows = np.concatenate([a.row.astype(np.int64),
+                                   self.user_num + at.row.astype(np.int64)])
+            cols = np.concatenate([self.user_num + a.col.astype(np.int64),
+                                   at.col.astype(np.int64)])
+            vals = np.concatenate([a.data, at.data]).astype(np.float32)
+            _, sg = maybe_partition_bi(cfg, rows, cols, self.user_num,
+                                       self.item_num, vals=vals)
+            if sg is None:
+                sgs = None
+                break
+            sgs.append(sg)
+        if sgs:
+            self._sg_beh = sgs
+
         self._kg_opt = optax.adam(self.kg_lr)
         self.opt_model = optax.chain(optax.clip_by_global_norm(20.0),
                                      optax.adam(float(cfg.optimizer.lr)))
@@ -174,8 +201,17 @@ class KMCLR(RecModel):
         u, i = g["user_emb"], g["item_emb"]
         cat_u, cat_i, cat_us = [], [], []
         for l in range(self.gnn_layer):
-            us = [spmm(a, i) for a, _ in self.graphs]
-            is_ = [spmm(at, u) for _, at in self.graphs]
+            if self._sg_beh is not None:
+                from sslrec_tpu.parallel.dist_train import \
+                    mesh_partitioned_propagate
+                hops = [mesh_partitioned_propagate(self._mesh, sg, u, i,
+                                                   sg.vals, 1, combine="last")
+                        for sg in self._sg_beh]
+                us = [h[0] for h in hops]
+                is_ = [h[1] for h in hops]
+            else:
+                us = [spmm(a, i) for a, _ in self.graphs]
+                is_ = [spmm(at, u) for _, at in self.graphs]
             u = jax.nn.sigmoid(sum(us) / self.n_beh @ g["u_w"][l])
             i = jax.nn.sigmoid(sum(is_) / self.n_beh @ g["i_w"][l])
             cat_u.append(u)
@@ -205,25 +241,33 @@ class KMCLR(RecModel):
                           + kg["gat_out"]["b"])
         return out
 
-    def _kg_computer(self, kg, adj_vals=None):
-        items = (self._rgat_items(kg, 0) + self._rgat_items(kg, 1)) / 2.0
-        all_emb = jnp.concatenate([kg["user"], items], 0)
-        if adj_vals is None:
-            adj_vals = self.bi.view_vals(jnp.ones((self.bi.nnz_rect,)))
+    def _bi_propagate(self, user_emb, items, adj_vals):
+        """Mean-combined LightGCN over the buy bi-adjacency; rides the
+        partitioned layout under train.mesh (per-view adj_vals through
+        src_idx, r5)."""
+        if self._sg_bi is not None:
+            from sslrec_tpu.parallel.dist_train import (
+                mesh_partitioned_propagate, view_vals_partitioned)
+            pv = view_vals_partitioned(self._sg_bi, adj_vals)
+            return mesh_partitioned_propagate(
+                self._mesh, self._sg_bi, user_emb, items, pv,
+                self.kg_layers, combine="mean")
+        all_emb = jnp.concatenate([user_emb, items], 0)
         acc = [all_emb]
         for _ in range(self.kg_layers):
             acc.append(spmm(self.bi.graph, acc[-1], edge_weight=adj_vals))
         out = sum(acc) / (self.kg_layers + 1)
         return out[: self.user_num], out[self.user_num:]
 
+    def _kg_computer(self, kg, adj_vals=None):
+        items = (self._rgat_items(kg, 0) + self._rgat_items(kg, 1)) / 2.0
+        if adj_vals is None:
+            adj_vals = self.bi.view_vals(jnp.ones((self.bi.nnz_rect,)))
+        return self._bi_propagate(kg["user"], items, adj_vals)
+
     def _kg_view_computer(self, kg, adj_vals, index):
         items = self._rgat_items(kg, index)
-        all_emb = jnp.concatenate([kg["user"], items], 0)
-        acc = [all_emb]
-        for _ in range(self.kg_layers):
-            acc.append(spmm(self.bi.graph, acc[-1], edge_weight=adj_vals))
-        out = sum(acc) / (self.kg_layers + 1)
-        return out[: self.user_num], out[self.user_num:]
+        return self._bi_propagate(kg["user"], items, adj_vals)
 
     # -- TransR / TATEC -------------------------------------------------------
     def _trans_loss(self, kg, batch, index, mode):

@@ -37,6 +37,20 @@ class SMBRec(RecModel):
         self.beh_degrees = data.extras["beh_degrees"]      # [n_beh, n_users]
         self.co_indptr = data.extras["co_user_indptr"]
         self.co_indices = data.extras["co_user_indices"]
+        # Under train.mesh with a model axis, each behavior tower's chained
+        # (A, AT) rect pair runs graph-partitioned (r5, KGCL pattern).
+        from sslrec_tpu.parallel.dist_train import maybe_partition_rect_pair
+        self._mesh, self._sgs = None, None
+        sgs = []
+        for a, at in self.graphs:
+            mesh, pair = maybe_partition_rect_pair(cfg, a, at, self.user_num,
+                                                   self.item_num)
+            if pair is None:
+                sgs = None
+                break
+            self._mesh = mesh
+            sgs.append(pair)
+        self._sgs = sgs or None
 
     def init_params(self, key):
         ks = jax.random.split(key, self.n_beh + 2)
@@ -50,8 +64,10 @@ class SMBRec(RecModel):
         }
 
     def forward(self, params):
-        embeds = [GCNTower.apply(p, a, at, self.layer_num)
-                  for p, (a, at) in zip(params["towers"], self.graphs)]
+        ms = ([(self._mesh, sa, st) for sa, st in self._sgs]
+              if self._sgs is not None else [None] * len(self.graphs))
+        embeds = [GCNTower.apply(p, a, at, self.layer_num, mesh_sgs=m)
+                  for p, (a, at), m in zip(params["towers"], self.graphs, ms)]
         users = jnp.stack([u for u, _ in embeds])          # [n_beh, U, d]
         items = jnp.concatenate([i for _, i in embeds], axis=1)
         w = jax.nn.softmax(

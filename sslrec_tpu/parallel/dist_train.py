@@ -231,6 +231,38 @@ def maybe_partition_bi(cfg, rows, cols, n_users: int, n_items: int,
                                  int(mesh.shape[MODEL_AXIS]))
 
 
+def maybe_partition_rect_pair(cfg, a_graph, at_graph, n_users: int,
+                              n_items: int):
+    """Partition a *chained* rect propagation pair (A: users←items, then
+    AT: items←users-new, e.g. the HMGCR/SMBRec ``GCNTower`` layer) into two
+    direction-specific :class:`ShardedGraph` s.  One bidirectional hop cannot
+    express the chain (AT consumes A's OUTPUT within the same layer), so each
+    direction gets its own destination-partitioned graph; static normalised
+    values live in ``sg.vals``.  Returns ``(mesh, (sg_a, sg_at))`` or
+    ``(mesh, None)`` off-mesh."""
+    from sslrec_tpu.parallel.mesh import MODEL_AXIS, mesh_from_config
+    mesh = mesh_from_config(cfg)
+    if mesh is None or mesh.shape.get(MODEL_AXIS, 1) <= 1:
+        return mesh, None
+    n_model = int(mesh.shape[MODEL_AXIS])
+
+    def part(rows, cols, vals):
+        g = CooGraph(rows=np.asarray(rows), cols=np.asarray(cols),
+                     vals=np.asarray(vals, np.float32),
+                     n_rows=n_users + n_items, n_cols=n_users + n_items)
+        return partition_graph(g, n_users, n_items, n_model)
+
+    ar = np.asarray(a_graph.rows, np.int64)
+    ac = np.asarray(a_graph.cols, np.int64)
+    av = np.asarray(a_graph.vals)
+    tr = np.asarray(at_graph.rows, np.int64)
+    tc = np.asarray(at_graph.cols, np.int64)
+    tv = np.asarray(at_graph.vals)
+    sg_a = part(ar, n_users + ac, av)            # users ← items
+    sg_at = part(n_users + tr, tc, tv)           # items ← users
+    return mesh, (sg_a, sg_at)
+
+
 def build_sharded_lightgcn_step(mesh, sg: ShardedGraph, layer_num: int,
                                 reg_weight: float, keep_rate: float,
                                 optimizer):

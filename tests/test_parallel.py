@@ -381,3 +381,50 @@ def test_cml_partitioned_behavior_stacks_parity():
     for a, b in zip(om, o1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("name", ["hmgcr", "smbrec", "kmclr"])
+def test_mb_family_partitioned_forward_parity(name):
+    """r5: HMGCR/SMBRec chained (A, AT) tower pairs
+    (``maybe_partition_rect_pair``) and KMCLR's behavior stacks + KG-view
+    LightGCN engage the partitioned layout under ``train.mesh`` and match the
+    single-device forward."""
+    from sslrec_tpu.config import load_config
+    from sslrec_tpu.data import multi_behavior as mb_data
+    from sslrec_tpu.models.registry import build_model
+    from tests.test_models_multi_behavior import _mb_setup
+
+    behaviors, mats, tst = _mb_setup()
+    ov = {"model.embedding_size": 8, "model.hidden_dim": 8,
+          "train.SSL_batch": 4}
+    kg_triplets = None
+    meta = mats if name == "hmgcr" else None
+    if name == "kmclr":
+        ov.update({"model.latent_dim_rec": 8, "model.bpr_batch_size": 16})
+        rng = np.random.default_rng(7)
+        kg_triplets = np.stack([rng.integers(0, 25, 60),
+                                rng.integers(0, 3, 60),
+                                rng.integers(0, 40, 60)], 1).astype(np.int64)
+
+    def build(extra):
+        cfg = load_config(name, overrides={**ov, **extra})
+        data = mb_data.bundle_from_behaviors(cfg, behaviors, mats, tst,
+                                             meta_mats=meta,
+                                             kg_triplets=kg_triplets)
+        return build_model(cfg, data)
+
+    m1 = build({})
+    mm = build({"train.mesh": {"data": 2, "model": 2}})
+    params = m1.init_params(jax.random.PRNGKey(3))
+
+    if name == "kmclr":
+        assert mm._sg_beh is not None and mm._sg_bi is not None
+        o1 = list(m1._mb_gcn(params["mb"])) + list(m1._kg_computer(params["kg"]))
+        om = list(mm._mb_gcn(params["mb"])) + list(mm._kg_computer(params["kg"]))
+    else:
+        assert mm._sgs is not None and len(mm._sgs) == len(mm.graphs)
+        o1 = jax.tree.leaves(m1.forward(params))
+        om = jax.tree.leaves(mm.forward(params))
+    for a, b in zip(om, o1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
