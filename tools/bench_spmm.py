@@ -17,7 +17,11 @@ Usage: python tools/bench_spmm.py [--d 32] [--r 256] [--m 512] [--precision high
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from sslrec_tpu.utils.jax_setup import setup_jax
 

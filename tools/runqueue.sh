@@ -5,7 +5,10 @@
 set -u
 cd /root/repo
 mkdir -p runs
-n=0
+# continue numbering from prior runqueue instances so restarts never
+# overwrite an earlier job's log (r5: a restarted queue clobbered a log)
+n=$(ls runs 2>/dev/null | sed -n 's/^\([0-9]\{1,\}\)_.*/\1/p' | sort -n | tail -1)
+n=${n:-0}
 while true; do
   line=$(head -n 1 tools/queue.txt 2>/dev/null)
   if [ -z "$line" ]; then
