@@ -428,3 +428,41 @@ def test_mb_family_partitioned_forward_parity(name):
     for a, b in zip(om, o1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_lightgcn_family_partitioned_propagate_parity():
+    """r5: the LightGCN-family ``propagate`` engages the partitioned layout
+    under train.mesh (covering SGL/SimGCL/NCL/DirectAU clean forwards) and
+    matches the single-device spmm path; dropout rides a flat [nnz] mask."""
+    from sslrec_tpu.config import load_config
+    from sslrec_tpu.data.general_cf import bundle_from_matrices
+    from sslrec_tpu.models.registry import build_model
+
+    trn = random_ui_matrix(60, 30, density=0.15, seed=0)
+    tst = random_ui_matrix(60, 30, density=0.05, seed=1)
+    ov = {"model.embedding_size": 8}
+    cfg1 = load_config("lightgcn", overrides=ov)
+    m1 = build_model(cfg1, bundle_from_matrices(trn, None, tst))
+    params = m1.init_params(jax.random.PRNGKey(3))
+    u1, i1 = m1.propagate(params)
+
+    cfgm = load_config("lightgcn",
+                       overrides={**ov, "train.mesh": {"data": 2, "model": 2}})
+    mm = build_model(cfgm, bundle_from_matrices(trn, None, tst))
+    assert mm._sg is not None and mm._sg.n_model == 2
+    um, im = mm.propagate(params)
+    np.testing.assert_allclose(np.asarray(um), np.asarray(u1),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(im), np.asarray(i1),
+                               rtol=2e-5, atol=2e-6)
+    # weighted propagation (the dropout path) also matches
+    w = jax.random.uniform(jax.random.PRNGKey(9), (mm._flat_vals.shape[0],))
+    from sslrec_tpu.ops.spmm import spmm_layers
+    emb = jnp.concatenate([params["user_embeds"], params["item_embeds"]], 0)
+    ys = spmm_layers(m1.adj, emb, m1.layer_num, w)
+    ref = emb + ys.sum(axis=0)
+    um2, im2 = mm.propagate(params, edge_weight=w)
+    np.testing.assert_allclose(np.asarray(um2), np.asarray(ref[:60]),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(im2), np.asarray(ref[60:]),
+                               rtol=2e-5, atol=2e-6)
