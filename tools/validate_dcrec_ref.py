@@ -43,6 +43,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override the shipped lr (tuned head-to-head: the "
+                         "shipped lr 5e-5 / weight_decay 0.98 leaves BOTH "
+                         "implementations at near-random for hundreds of "
+                         "epochs — measured: ref epochs 0-1 R@20 0.0004-6)")
+    ap.add_argument("--wd", type=float, default=None)
     args = ap.parse_args(argv)
 
     torch.set_num_threads(os.cpu_count() or 4)
@@ -51,6 +57,10 @@ def main(argv=None):
     with open("/root/reference/config/modelconf/dcrec.yml") as f:
         configs.update(yaml.safe_load(f))
     configs["device"] = "cpu"
+    if args.lr is not None:
+        configs["optimizer"]["lr"] = args.lr
+    if args.wd is not None:
+        configs["optimizer"]["weight_decay"] = args.wd
 
     with open(os.path.join(DATA, "trn_mat.pkl"), "rb") as f:
         trn = sp.coo_matrix(pickle.load(f))
